@@ -1,0 +1,100 @@
+"""Static-shape framing and overlap-add primitives.
+
+TPU-first design notes
+----------------------
+The reference implements its trainable STFT/iSTFT as strided
+Conv1d/ConvTranspose1d (cls_fe_dft.py:28-31, 78-82). On TPU the FLOPs of both
+directions are plain GEMMs once the signal is framed; framing and overlap-add
+are pure data movement. We therefore express the front-end as
+
+    frames = frame_signal(pad(x))          # gather / reshape, no FLOPs
+    spec   = frames @ W.T                  # one MXU GEMM
+    ...
+    frames = spec @ W_syn                  # one MXU GEMM
+    wave   = overlap_add(frames)           # 3 shifted adds, no FLOPs
+
+which lets XLA keep everything on the MXU with static shapes. All functions
+here are shape-static and jittable.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def num_frames(length: int, ft_size: int, hop_size: int, pad: int) -> int:
+    """Number of frames a Conv1d(kernel=ft, stride=hop, padding=pad) emits."""
+    return (length + 2 * pad - ft_size) // hop_size + 1
+
+
+def frame_signal(x: jnp.ndarray, ft_size: int, hop_size: int, pad: int) -> jnp.ndarray:
+    """Slice a batch of signals into overlapping frames.
+
+    x: (B, L) -> (B, T, ft_size) with frame t covering padded-signal samples
+    [t*hop, t*hop + ft). Matches the receptive fields of the reference's
+    analysis convs (cls_fe_dft.py:28-31: kernel=ft, stride=hop, padding=ft).
+
+    Implemented as a static gather; XLA lowers this to an efficient copy and
+    fuses it with the consuming GEMM where possible.
+    """
+    if pad > 0:
+        x = jnp.pad(x, ((0, 0), (pad, pad)))
+    t = num_frames(x.shape[-1], ft_size, hop_size, 0)
+    idx = np.arange(t)[:, None] * hop_size + np.arange(ft_size)[None, :]
+    return x[:, idx]
+
+
+def overlap_add(frames: jnp.ndarray, hop_size: int) -> jnp.ndarray:
+    """Overlap-add frames at the given hop.
+
+    frames: (B, T, ft) -> (B, (T-1)*hop + ft), the output of a
+    ConvTranspose1d(stride=hop, padding=0) given per-frame time-domain
+    contributions (cls_fe_dft.py:78-82,112).
+
+    TPU implementation: split each length-ft frame into ceil(ft/hop) blocks of
+    ``hop`` samples (zero-padding the tail). Block j of frame t lands at block
+    row t + j of the output, so the whole OLA is ceil(ft/hop) shifted adds of
+    contiguous slices — static shapes, no scatter, no serial loop.
+    """
+    b, t, ft = frames.shape
+    n_blocks = -(-ft // hop_size)  # ceil
+    padded_ft = n_blocks * hop_size
+    if padded_ft != ft:
+        frames = jnp.pad(frames, ((0, 0), (0, 0), (0, padded_ft - ft)))
+    sub = frames.reshape(b, t, n_blocks, hop_size)
+    out_rows = t + n_blocks - 1
+    acc = jnp.zeros((b, out_rows, hop_size), dtype=frames.dtype)
+    for j in range(n_blocks):
+        acc = acc.at[:, j : j + t].add(sub[:, :, j, :])
+    flat = acc.reshape(b, out_rows * hop_size)
+    return flat[:, : (t - 1) * hop_size + ft]
+
+
+def sliding_window(x: jnp.ndarray, size: int, overlap: int = 0) -> jnp.ndarray:
+    """Stack a 1-D signal into overlapping windows, zero-padding the tail.
+
+    Same contract as the reference's strided-view windower (audio.py:23-49):
+        sliding_window(arange(10), 5, overlap=2) ==
+            [[0 1 2 3 4], [3 4 5 6 7], [6 7 8 9 0]]
+    The tail is zero-padded so windows tile the signal evenly.
+
+    Shape-static given (len(x), size, overlap); returns (n_windows, size).
+    """
+    step = size - overlap
+    length = x.shape[-1]
+    remainder = (length - size) % step
+    if remainder != 0:
+        x = jnp.pad(x, (0, step - remainder))
+    nwin = (x.shape[-1] - size) // step + 1
+    idx = np.arange(nwin)[:, None] * step + np.arange(size)[None, :]
+    return x[idx]
+
+
+def undo_sliding_window(x: jnp.ndarray, overlap: int, flatsize: int | None = None) -> jnp.ndarray:
+    """Inverse of sliding_window for non-overlapping tails (audio.py:61-73)."""
+    if overlap != 0:
+        xnew = jnp.concatenate((x[0, 0:overlap], x[:, overlap:].reshape(-1)))
+        return xnew[0:flatsize] if flatsize is not None else xnew
+    return x

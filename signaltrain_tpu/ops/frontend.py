@@ -1,0 +1,124 @@
+"""Trainable STFT analysis / iSTFT synthesis front-end (flax modules).
+
+The reference realizes these as strided Conv1d / ConvTranspose1d layers whose
+weights are initialized to (windowed) DFT matrices and then *trained*
+(cls_fe_dft.py:12-115). We keep the same parameterization — full (ft, ft)
+real and imaginary weight matrices per direction, so reference checkpoints
+import losslessly — but compute TPU-first:
+
+* Analysis: frame the padded signal, then ONE GEMM against the 513 used rows
+  of [W_re; W_im] stacked, instead of two strided convolutions
+  (cls_fe_dft.py:50-58). Rows 513..1023 are parameters that receive no
+  gradient in the reference (sliced away after the conv); slicing the weight
+  before the GEMM reproduces exactly that.
+
+* Synthesis: the reference materializes the conjugate-symmetric mirror of the
+  513-bin spectrum with flip() — its #1 CPU hotspot, 40-70% of profile time
+  (cls_fe_dft.py:106-117) — then runs two transposed convs and sums. Because
+  the transform is linear, the mirror folds into the WEIGHTS instead:
+
+      out = re_full @ W_re + im_full @ W_im
+          = re @ (W_re[:513] + fold(W_re[513:])) + im @ (W_im[:513] - fold(W_im[513:]))
+
+  where fold() reverses rows so trainable row 1024-c adds onto row c
+  (c = 1..511). One flip of a (511, ft) weight matrix per step (amortized
+  over B*T frames) replaces a flip of every activation; then ONE GEMM and a
+  static overlap-add produce the waveform. Numerics are bit-identical in
+  exact arithmetic and agree with the conv formulation to float tolerance.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from . import framing, windows
+
+
+def _gemm(a: jnp.ndarray, b: jnp.ndarray, compute_dtype) -> jnp.ndarray:
+    """Front-end GEMM with explicit precision policy.
+
+    In float32 mode we request full-precision MXU passes (otherwise JAX's
+    default matmul precision silently decomposes to bfloat16 passes, ~4e-3
+    error on these transforms). In bfloat16 mode the operands are already
+    bf16 and accumulate in fp32 via preferred_element_type.
+    """
+    precision = jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32 else None
+    return jnp.dot(
+        a.astype(compute_dtype),
+        b.astype(compute_dtype),
+        precision=precision,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _as_init(arr):
+    def init(key, shape, dtype=jnp.float32):
+        del key
+        assert tuple(shape) == arr.shape, (shape, arr.shape)
+        return jnp.asarray(arr, dtype=dtype)
+
+    return init
+
+
+class Analysis(nn.Module):
+    """Trainable STFT analysis: (B, L) -> (re, im), each (B, T, ft//2+1).
+
+    Frame t covers padded-input samples [t*hop, t*hop+ft) with pad=ft of
+    zeros on both sides, matching Conv1d(1, ft, ft, stride=hop, padding=ft)
+    (cls_fe_dft.py:28-31,50-58).
+    """
+
+    ft_size: int = 1024
+    hop_size: int = 384
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, wave: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        ft, hop = self.ft_size, self.hop_size
+        half = ft // 2 + 1
+        re0, im0 = windows.analysis_init(ft)
+        w_real = self.param("w_real", _as_init(re0), (ft, ft))
+        w_imag = self.param("w_imag", _as_init(im0), (ft, ft))
+
+        frames = framing.frame_signal(wave, ft, hop, pad=ft)
+        # Stack the used rows of both matrices -> a single (ft, 2*half) GEMM.
+        w = jnp.concatenate([w_real[:half], w_imag[:half]], axis=0).T
+        spec = _gemm(frames, w, self.compute_dtype)
+        return spec[..., :half], spec[..., half:]
+
+
+class Synthesis(nn.Module):
+    """Trainable iSTFT synthesis: (re, im) each (B, OT, ft//2+1) -> (B, out).
+
+    out = (OT-1)*hop + ft - 2*ft trimmed: the transposed-conv output has
+    length (OT-1)*hop + ft and the reference trims ft samples from each end
+    (cls_fe_dft.py:112-115).
+    """
+
+    ft_size: int = 1024
+    hop_size: int = 384
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:
+        ft, hop = self.ft_size, self.hop_size
+        half = ft // 2 + 1
+        re0, im0 = windows.synthesis_init(ft, hop)
+        w_real = self.param("w_real", _as_init(re0), (ft, ft))
+        w_imag = self.param("w_imag", _as_init(im0), (ft, ft))
+
+        # Fold the conjugate-symmetric mirror into the weights:
+        # full-spectrum channel j in [513, 1024) carries bin c = ft - j with
+        # re_full[j] = re[c], im_full[j] = -im[c]  (cls_fe_dft.py:109-110).
+        wr_eff = w_real[:half].at[1 : half - 1].add(jnp.flip(w_real[half:], axis=0))
+        wi_eff = w_imag[:half].at[1 : half - 1].add(-jnp.flip(w_imag[half:], axis=0))
+
+        spec = jnp.concatenate([re, im], axis=-1)  # (B, OT, 2*half)
+        w = jnp.concatenate([wr_eff, wi_eff], axis=0)  # (2*half, ft)
+        frames = _gemm(spec, w, self.compute_dtype)
+        wave = framing.overlap_add(frames, hop)
+        return wave[:, ft:-ft]
