@@ -1,0 +1,290 @@
+"""Synthetic test-signal generators, fully on-device.
+
+Port of the *distributions* of the reference's synthesizer zoo
+(audio.py:84-335) to explicit-key jax.random: every generator is jittable,
+vmappable and shape-static, so a whole training batch of inputs is
+synthesized inside the jitted train step — no host dataloader
+(SURVEY.md §5 "distributed backend": on-device data synthesis replaces the
+10 CPU workers).
+
+Exact RNG streams cannot match numpy's, so parity is distributional; the
+deterministic envelopes (amp staircase, sweep law, box/triangle shapes) match
+the reference formulas exactly.
+
+Randomized-index quirks of the reference are reproduced where visible (e.g.
+box leaves a one-sample gap at i_up-1 at the pre-step level; spikes'
+location arithmetic truncates toward zero).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "pinknoise", "randsine", "box", "expdecay", "pluck", "ampexpstepup",
+    "sweep", "spikes", "triangle", "synth_input_sample", "random_ends",
+    "normish", "DEFAULT_CHOOSERS",
+]
+
+# chooser set used when synthesizing compressor training data
+# (datasets.py:317)
+DEFAULT_CHOOSERS = (0, 1, 2, 4, 6, 7)
+
+
+def random_ends(key, shape=()):
+    """Beta(0.8, 0.8) — emphasizes knob-range boundaries (audio.py:20-21)."""
+    return jax.random.beta(key, 0.8, 0.8, shape)
+
+
+def _u(key, shape=()):
+    return jax.random.uniform(key, shape)
+
+
+def normish(key, y, amp_range=(0.6, 0.9)):
+    """Normalize then rescale to a random amplitude in amp_range
+    (audio.py:75-81)."""
+    lo, hi = amp_range
+    amp = (hi - lo) * _u(key) + lo
+    return y / jnp.max(jnp.abs(y)) * amp
+
+
+@functools.lru_cache(maxsize=8)
+def _irfft_cos_matrix(n: int):
+    """Half-spectrum inverse-rFFT cosine matrix, (n//2+1, n//2+1) fp32.
+
+    This TPU backend implements no FFT, so the reference's
+    np.fft.irfft(real_spectrum) (audio.py:93) becomes one MXU GEMM:
+        y[m] = (1/n) * [c0 + 2*sum_{k=1}^{n/2-1} c_k cos(2 pi k m / n)
+                        + c_{n/2} cos(pi m)]
+    The output of an irfft of a REAL spectrum is even-symmetric, so only
+    m = 0..n/2 is computed and the rest is mirrored — half the FLOPs.
+    """
+    import numpy as _np
+
+    nf = n // 2 + 1
+    k = _np.arange(nf)[:, None]
+    m = _np.arange(nf)[None, :]
+    mat = 2.0 * _np.cos(2.0 * _np.pi * k * m / n) / n
+    mat[0] /= 2.0
+    mat[-1] /= 2.0
+    return mat.astype(_np.float32)
+
+
+def pinknoise(key, n: int):
+    """1/f noise: inverse rFFT of a 1/sqrt(f)-shaped uniform spectrum
+    (audio.py:85-94), via cosine GEMM (no FFT on TPU). n must be even."""
+    n_f = n // 2 + 1
+    noise = 2.0 * _u(key, (n_f,)) - 1.0
+    s = jnp.sqrt(jnp.arange(n_f) + 1.0)
+    y_half = jnp.dot(
+        noise / s,
+        jnp.asarray(_irfft_cos_matrix(n)),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    y = jnp.concatenate([y_half, y_half[1:-1][::-1]])
+    return y / jnp.max(jnp.abs(y))
+
+
+def randsine(key, t, amp_range=(0.2, 0.9), freq_range=(5.0, 150.0),
+             max_tones: int = 2, t0_fac=None):
+    """1-2 random cosines (audio.py:96-104)."""
+    k_n, k_norm, k_tones = jax.random.split(key, 3)
+    n_tones = jax.random.randint(k_tones, (), 1, max_tones + 1)
+    y = jnp.zeros_like(t)
+    for i in range(max_tones):
+        ka, kf, kt = jax.random.split(jax.random.fold_in(k_n, i), 3)
+        amp = amp_range[0] + (amp_range[1] - amp_range[0]) * _u(ka)
+        freq = freq_range[0] + (freq_range[1] - freq_range[0]) * _u(kf)
+        t0 = _u(kt) * t[-1] if t0_fac is None else t0_fac * t[-1]
+        y = y + jnp.where(i < n_tones, amp * jnp.cos(freq * (t - t0)), 0.0)
+    return normish(k_norm, y)
+
+
+def box(key, t, t0_fac=None):
+    """Step-response box (audio.py:106-122, delta=0 path). Reproduces the
+    reference's one-sample gap: index i_up-1 keeps the end level."""
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    h_bgn = 0.15 * _u(k1)
+    h_mid = 0.35 * _u(k2) + 0.6
+    h_end = 0.2 * _u(k3) + 0.1
+    maxi = t.shape[0]
+    i_up = (
+        (0.3 * _u(k4) * maxi).astype(jnp.int32)
+        if t0_fac is None
+        else jnp.asarray(int(t0_fac * maxi), jnp.int32)
+    )
+    i_dn = jnp.minimum(
+        i_up + ((0.3 + 0.35 * _u(k5)) * maxi).astype(jnp.int32), maxi - 1
+    )
+    n = jnp.arange(maxi)
+    x = jnp.full((maxi,), h_end, dtype=t.dtype)
+    x = jnp.where(n < i_up - 1, h_bgn, x)
+    x = jnp.where((n >= i_up) & (n < i_dn), h_mid, x)
+    return x
+
+
+def expdecay(key, t, t0_fac=None, high_fac=None, low_fac=None):
+    """Exponential decay envelope (audio.py:124-134)."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    t0 = 0.35 * _u(k1) * t[-1] if t0_fac is None else t0_fac * t[-1]
+    h_high = 0.35 * _u(k2) + 0.6 if high_fac is None else high_fac
+    h_low = 0.1 * _u(k3) + 0.1 if low_fac is None else low_fac
+    decay = 12.0 * _u(k4)
+    x = jnp.exp(-decay * (t - t0)) * h_high
+    return jnp.where(t < t0, h_low, x)
+
+
+def pluck(key, t, freq_range=(50.0, 6400.0), max_tones: int = 3, t0_fac=None):
+    """Plucked-string-ish decaying sines (audio.py:136-146)."""
+    k_n, k_env, k_norm, k_tones = jax.random.split(key, 4)
+    n_tones = jax.random.randint(k_tones, (), 1, max_tones + 1)
+    y = jnp.zeros_like(t)
+    for i in range(max_tones):
+        ka, ks, kt, kf = jax.random.split(jax.random.fold_in(k_n, i), 4)
+        amp0 = (0.45 * _u(ka) + 0.5) * jnp.sign(jax.random.rademacher(ks, ()))
+        t0 = (2.0 * _u(kt) - 1.0) * 0.3 * t[-1] if t0_fac is None else t0_fac * t[-1]
+        freq = freq_range[0] + (freq_range[1] - freq_range[0]) * _u(kf)
+        y = y + jnp.where(i < n_tones, amp0 * jnp.sin(freq * (t - t0)), 0.0)
+    y = y * expdecay(k_env, t, t0_fac=t0_fac)
+    return normish(k_norm, y)
+
+
+def ampexpstepup(key, t, freq=None, freq_range=(400.0, 5000.0), start_db=-40.0):
+    """Sine under a 1 dB-stepped amplitude staircase — the AES-6849
+    compressor test signal (audio.py:149-161)."""
+    k_f, k_norm = jax.random.split(key)
+    n = t.shape[0]
+    env_db = jnp.floor(jnp.linspace(start_db, 0.0, n))
+    env = jnp.power(10.0, env_db / 10.0)
+    if freq is None:
+        freq = freq_range[0] + (freq_range[1] - freq_range[0]) * _u(k_f)
+    return normish(k_norm, env * jnp.sin(freq * t))
+
+
+def sweep(key, t, freq_range=(20.0, 20000.0), amp=None, amp_too=False):
+    """Exponential frequency sweep (audio.py:164-173). amp_too may be a
+    traced bool."""
+    k_a, k_norm = jax.random.split(key)
+    tmax = t[-1]
+    lnfr = jnp.log(freq_range[1] / freq_range[0])
+    amp = 0.9 * _u(k_a) if amp is None else amp
+    y = amp * jnp.sin(20.0 * 2.0 * jnp.pi * tmax / lnfr * (jnp.exp(t / tmax * lnfr) - 1.0))
+    y = jnp.where(amp_too, y * jnp.exp(lnfr * t / tmax), y)
+    return normish(k_norm, y)
+
+
+def spikes(key, t, n_spikes: int = 50):
+    """Random spikes plus gaussian noise (audio.py:175-186).
+
+    The reference writes the 50 spikes sequentially; here they scatter in one
+    shot (collision resolution differs only when two spikes land on the same
+    sample).
+    """
+    k_loc, k_h, k_amp, k_noise = jax.random.split(key, 4)
+    n = t.shape[0]
+    # loc = int(int(u*n - 2) + t[-1]): truncation toward zero twice.
+    u = _u(k_loc, (n_spikes,))
+    inner = jnp.trunc(u * n - 2.0)
+    loc = jnp.trunc(inner + t[-1]).astype(jnp.int32)
+    height = (2.0 * _u(k_h, (n_spikes,)) - 1.0) * 0.7
+
+    x = jnp.zeros((n,), t.dtype)
+    x = x.at[loc % n].set(height)
+    x = x.at[(loc + 1) % n].set(height / 2.0)
+    x = x.at[(loc - 1) % n].set(height / 2.0)
+    amp_n = 0.1 * _u(k_amp)
+    return x + amp_n * jax.random.normal(k_noise, (n,))
+
+
+def triangle(key, t, t0_fac=None):
+    """Ramp up then down, plus pink noise (audio.py:188-196)."""
+    k_h, k_s, k_w, k_t, k_a, k_p = jax.random.split(key, 6)
+    height = (0.4 * _u(k_h) + 0.4) * jnp.sign(jax.random.rademacher(k_s, ()))
+    width = _u(k_w) / 4.0 * t[-1]
+    t0 = 2.0 * width + 0.4 * _u(k_t) * t[-1] if t0_fac is None else t0_fac * t[-1]
+    x = height * (1.0 - jnp.abs(t - t0) / width)
+    x = jnp.where((t < t0 - width) | (t > t0 + width), 0.0, x)
+    amp_n = 0.1 * _u(k_a) + 0.02
+    return x + amp_n * pinknoise(k_p, t.shape[0])
+
+
+def synth_input_sample(key, t, chooser, t0_fac=None):
+    """12-way synthetic input chooser (audio.py:296-334).
+
+    chooser may be a traced int (lax.switch over equal-shape branches) so the
+    per-example choice lives inside the jitted train step. Applies the global
+    random polarity flip + epsilon noise at the end.
+    """
+    k_branch, k_sign, k_eps = jax.random.split(key, 3)
+    n = t.shape[0]
+
+    def c0(k):
+        return randsine(k, t, t0_fac=t0_fac)
+
+    def c1(k):
+        k1, k2, k3, k4, k5 = jax.random.split(k, 5)
+        return (
+            randsine(k1, t, t0_fac=t0_fac)
+            + 0.2 * _u(k2) * pinknoise(k3, n)
+            + 0.2 * _u(k4) * (2.0 * _u(k5, (n,)) - 1.0)
+        )
+
+    def c2(k):
+        return pluck(k, t, t0_fac=t0_fac)
+
+    def c3(k):
+        return triangle(k, t, t0_fac=t0_fac)
+
+    def c4(k):
+        return box(k, t, t0_fac=t0_fac)
+
+    def c5(k):
+        return spikes(k, t)
+
+    def c6(k):
+        k1, k2 = jax.random.split(k)
+        return box(k1, t, t0_fac=t0_fac) * (2.0 * _u(k2, (n,)) - 1.0)
+
+    def c7(k):
+        k1, k2, k3 = jax.random.split(k, 3)
+        amp_n = 0.3 * _u(k2) + 0.1
+        return pluck(k1, t, t0_fac=t0_fac) + amp_n * pinknoise(k3, n)
+
+    def c8(k):
+        return ampexpstepup(k, t, start_db=-30.0)
+
+    def c9(k):
+        k1, k2, k3, k4 = jax.random.split(k, 4)
+        f_low = jax.random.randint(k1, (), 20, 1000).astype(t.dtype)
+        f_high = jax.random.randint(k2, (), 1000, 20000).astype(t.dtype)
+        amp_too = jax.random.randint(k3, (), 0, 3) == 2  # [F, F, T] choice
+        return sweep(k4, t, freq_range=(f_low, f_high), amp_too=amp_too)
+
+    def c10(k):
+        k1, k2, k3, k4, k5 = jax.random.split(k, 5)
+        return (
+            box(k1, t)
+            + 0.2 * _u(k2) * (2.0 * _u(k3, (n,)) - 1.0)
+            + 0.2 * _u(k4) * pinknoise(k5, n)
+        )
+
+    def c11(k):
+        k1, k2 = jax.random.split(k)
+        amp_n = 0.6 * _u(k1) + 0.2
+        return amp_n * pinknoise(k2, n)
+
+    branches = [c0, c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11]
+    y = jax.lax.switch(jnp.asarray(chooser, jnp.int32), branches, k_branch)
+    sign = jnp.sign(jax.random.rademacher(k_sign, ()))
+    return y * sign + _u(k_eps, (n,)) * 1e-8
+
+
+def choose_from(key, choices: Sequence[int]):
+    """Uniformly pick a static chooser id from a set (datasets.py:317)."""
+    idx = jax.random.randint(key, (), 0, len(choices))
+    return jnp.asarray(list(choices))[idx]
