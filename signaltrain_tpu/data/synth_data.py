@@ -1,0 +1,71 @@
+"""On-device synthetic data pipeline.
+
+The reference feeds training with SynthAudioDataSet: 10 CPU dataloader
+workers each synthesizing a chunk, applying the (numba) effect, and shipping
+it to the GPU (datasets.py:263-334, train.py:247-248). Here the whole chain —
+chooser sampling, signal synthesis, Beta(0.8,0.8) knob draw, effect, output
+trim, augmentation — is a pure jax function of a PRNG key, vmapped over the
+batch and fused INTO the jitted train step. There is no host in the loop and
+nothing to parallelize: each device synthesizes exactly the shard it trains
+on (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..dsp import synths
+
+
+def make_synth_batch_fn(
+    effect,
+    chunk_size: int,
+    y_size: int,
+    sr: float = 44100.0,
+    augment: bool = True,
+    choosers: Sequence[int] = synths.DEFAULT_CHOOSERS,
+) -> Callable:
+    """Returns gen(keys[B]) -> (x[B, chunk], y[B, y_size], knobs[B, K]).
+
+    Semantics of SynthAudioDataSet.gen_single_chunk (datasets.py:312-334):
+    chooser uniform over `choosers`, knobs ~ Beta(0.8,0.8)-0.5, effect.go,
+    y trimmed to its last y_size samples, then (optionally) the random
+    polarity flip of both x and y (do_augment rand_invert, datasets.py:21-29;
+    mult_some/add_some are off by default in the reference too).
+    """
+    t = jnp.arange(chunk_size, dtype=jnp.float32) / sr
+    nk = effect.num_knobs
+
+    def gen_one(key):
+        kc, ks, kk, ke, ka = jax.random.split(key, 5)
+        chooser = synths.choose_from(kc, choosers)
+        x = synths.synth_input_sample(ks, t, chooser)
+        knobs = synths.random_ends(kk, (nk,)) - 0.5
+        y, x = effect.go(x, knobs, key=ke)
+        y = y[-y_size:]
+        if augment:
+            sign = jnp.where(jax.random.bernoulli(ka), -1.0, 1.0)
+            x, y = x * sign, y * sign
+        return (
+            x.astype(jnp.float32),
+            y.astype(jnp.float32),
+            knobs.astype(jnp.float32),
+        )
+
+    return jax.vmap(gen_one)
+
+
+def batch_keys(base_key, step, batch_size: int):
+    """Per-example keys for one step: fold the step counter, then split."""
+    return jax.random.split(jax.random.fold_in(base_key, step), batch_size)
+
+
+def val_step_keys(seed: int, step: int, batch_size: int):
+    """Fixed ('recycled') validation keys: the same step always yields the
+    same data, emulating the reference's frozen val set (datasets.py:293-300)."""
+    return jax.random.split(
+        jax.random.fold_in(jax.random.PRNGKey(seed), step), batch_size
+    )

@@ -73,7 +73,14 @@ class AsymMPAEC(nn.Module):
         x_real, x_imag = self.dft_analysis(x / 2)
         # Magnitude/phase in fp32 (atan2 in low precision wrecks phase).
         re32, im32 = x_real.astype(jnp.float32), x_imag.astype(jnp.float32)
-        mag = jnp.sqrt(re32 * re32 + im32 * im32)
+        # Grad-safe L2: edge frames are exactly zero (they cover only the
+        # ft-sample zero padding), and d/ds sqrt(s) at s=0 is inf. torch.norm
+        # special-cases the zero-vector subgradient to 0 (the reference relies
+        # on that, nn_proc.py:309); max() against a tiny floor reproduces it —
+        # the constant branch wins at s=0, giving zero gradient, while the
+        # forward value changes by at most 1e-18.
+        sq = re32 * re32 + im32 * im32
+        mag = jnp.sqrt(jnp.maximum(sq, 1e-36))
         phs = jnp.arctan2(im32, re32 + 1e-7)
         if return_acts:
             layer_acts = [x_real, x_imag, mag, phs]

@@ -1,0 +1,289 @@
+"""Training: jitted train/eval steps and the full orchestration loop.
+
+Counterpart of the reference's train()/train_loop()/eval_status_save()
+(train.py:28-278), redesigned TPU-first:
+
+* ONE jitted train step fuses data synthesis (vmapped effect chain), forward,
+  loss, backward, the front-end L1 grad clip, and the Adam update — buffers
+  donated, no host round-trips. The reference's 10 dataloader workers and
+  .to(device) copies (train.py:104-106,247) have no equivalent here.
+* The 1cycle schedule is a closed-form function of the step counter baked
+  into the optimizer (schedule.py), not a host-side LUT write into
+  param_groups (train.py:108-109,150-151).
+* Mixed precision = bf16 GEMMs with fp32 params/trig/loss — the TPU-native
+  replacement for Apex AMP (train.py:15-25,252-257).
+* Parallelism = a jax.sharding Mesh: batch sharded over 'data' (each chip
+  synthesizes its own shard), optional 'model' sharding of the front-end
+  weights (parallel/mesh.py). Gradient all-reduce is implicit in SPMD
+  autodiff.
+
+Observability artifacts keep the reference's exact shapes: vl_avg_out.dat /
+val_err_mae.dat append logs, the \r status line with lr/mom/smoothed loss,
+val_data_*.png + spectrogram plots, checkpoint cadence, first-epoch ETA.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data import synth_data
+from ..models.st_model import STModel, param_count, st_model
+from ..parallel import mesh as meshlib
+from . import checkpoint, loss as loss_mod, schedule
+
+
+def clip_frontend_grads(grads, max_norm: float = 1.0):
+    """L1-norm clip of the FRONT-END gradients only, joint norm over the four
+    (ft, ft) matrices — semantics of torch clip_grad_norm_(norm_type=1) applied
+    to dft_analysis+dft_synthesis params (nn_proc.py:299-302)."""
+    g = grads["params"]
+    fe_names = ("dft_analysis", "dft_synthesis")
+    total = sum(
+        jnp.sum(jnp.abs(g[side][w])) for side in fe_names for w in ("w_real", "w_imag")
+    )
+    coef = jnp.minimum(1.0, max_norm / (total + 1e-6))
+    new = dict(g)
+    for side in fe_names:
+        new[side] = {w: g[side][w] * coef for w in ("w_real", "w_imag")}
+    return {"params": new}
+
+
+def make_optimizer(lr_max, n_data_points, epochs, batch_size):
+    """Adam (torch defaults, weight_decay=0, train.py:228) driven by the
+    closed-form 1cycle schedule."""
+    lr_fn = schedule.one_cycle_fn(
+        lr_max=lr_max, n_data_points=n_data_points, epochs=epochs, batch_size=batch_size
+    )
+    return optax.adam(learning_rate=lr_fn, b1=0.9, b2=0.999, eps=1e-8), lr_fn
+
+
+def make_train_step(model: STModel, tx, batch_fn, batch_size, mesh=None,
+                    clip_max_norm: float = 1.0):
+    n_bins = model.spec.ft_size // 2 + 1
+    scale = loss_mod.freq_scale(n_bins)
+    dsh = meshlib.data_sharding(mesh) if mesh is not None else None
+
+    def step_fn(params, opt_state, step, base_key):
+        keys = synth_data.batch_keys(base_key, step, batch_size)
+        x, y, knobs = batch_fn(keys)
+        if dsh is not None:
+            x, y, knobs = (
+                jax.lax.with_sharding_constraint(a, dsh) for a in (x, y, knobs)
+            )
+
+        def loss_fn(p):
+            y_hat, _, mag_hat = model.module.apply(p, x, knobs)
+            return loss_mod.calc_loss(y_hat, y, mag_hat, scale_by_freq=scale)
+
+        l, grads = jax.value_and_grad(loss_fn)(params)
+        grads = clip_frontend_grads(grads, clip_max_norm)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, l
+
+    return jax.jit(step_fn, donate_argnums=(0, 1))
+
+
+def make_eval_step(model: STModel, val_batch_fn, batch_size, val_seed: int = 7,
+                   mesh=None):
+    n_bins = model.spec.ft_size // 2 + 1
+    scale = loss_mod.freq_scale(n_bins)
+    dsh = meshlib.data_sharding(mesh) if mesh is not None else None
+
+    def eval_fn(params, step):
+        keys = synth_data.val_step_keys(val_seed, step, batch_size)
+        x, y, knobs = val_batch_fn(keys)
+        if dsh is not None:
+            x, y, knobs = (
+                jax.lax.with_sharding_constraint(a, dsh) for a in (x, y, knobs)
+            )
+        y_hat, mag, mag_hat = model.module.apply(params, x, knobs)
+        l = loss_mod.calc_loss(y_hat, y, mag_hat, scale_by_freq=scale)
+        mae = loss_mod.mae(y.astype(jnp.float32), y_hat.astype(jnp.float32))
+        return l, mae, (x, y, knobs, y_hat, mag, mag_hat)
+
+    return jax.jit(eval_fn)
+
+
+def train(
+    effect,
+    epochs: int = 100,
+    n_data_points: int = 200000,
+    batch_size: int = 20,
+    plot_every: int = 10,
+    cp_every: int = 25,
+    sr: int = 44100,
+    datapath: str | None = None,
+    scale_factor: float = 1,
+    shrink_factor: float = 4,
+    target_type: str = "stream",
+    lr_max: float = 1e-4,
+    in_checkpointname: str = "modelcheckpoint.tar",
+    out_checkpointname: str = "modelcheckpoint.tar",
+    compand: bool = False,
+    compute_dtype: Any = jnp.bfloat16,
+    seed: int = 218,
+    n_model: int = 1,
+    status_every: int = 10,
+    make_plots: bool = True,
+):
+    """Main training routine (reference train(), train.py:167-278).
+
+    Returns (model, params). datapath=None synthesizes data on device;
+    otherwise reads a pre-generated file dataset (data/file_data.py).
+    """
+    print(f"SignalTrain-TPU training began at {time.ctime()}. Options:")
+    print(f"    epochs = {epochs}, n_data_points = {n_data_points}, batch_size = {batch_size}")
+    print(f"    scale_factor = {scale_factor}, shrink_factor = {shrink_factor}, "
+          f"compute_dtype = {jnp.dtype(compute_dtype).name}")
+    num_knobs = effect.num_knobs
+    print(f"    num_knobs = {num_knobs}")
+    effect.info()
+
+    # Checkpoint-resume: metadata OVERRIDES CLI geometry (train.py:202-215)
+    loaded_params, rv = checkpoint.load_checkpoint(in_checkpointname, fatal=False)
+    if loaded_params is not None:
+        scale_factor, shrink_factor = rv["scale_factor"], rv["shrink_factor"]
+        sr = rv["sr"]
+
+    model = st_model(
+        scale_factor=scale_factor,
+        shrink_factor=shrink_factor,
+        num_knobs=num_knobs,
+        sr=sr,
+        compute_dtype=compute_dtype,
+    )
+    spec = model.spec
+    params = loaded_params if loaded_params is not None else model.init(
+        jax.random.PRNGKey(seed)
+    )
+    print("Model defined.  Number of trainable parameters:", param_count(params))
+    print("      in_chunk_size, out_chunk_size = ", spec.in_chunk_size, spec.out_chunk_size)
+
+    tx, lr_fn = make_optimizer(lr_max, n_data_points, epochs, batch_size)
+    mom_fn = schedule.momentum_fn(n_data_points, epochs, batch_size)
+
+    # Mesh + placement: batch over 'data', front-end weights over 'model'.
+    # Initializing the optimizer AFTER placement makes its mu/nu moments
+    # inherit the parameter shardings automatically.
+    mesh = meshlib.make_mesh(n_model=n_model)
+    psharding = meshlib.param_shardings(mesh, params)
+    params = jax.device_put(params, psharding)
+    opt_state = tx.init(params)
+    step0 = 0
+    if loaded_params is not None and "optax_state" in rv:
+        restored = checkpoint.restore_optax_state(opt_state, rv["optax_state"])
+        opt_state = jax.device_put(
+            restored, jax.tree.map(lambda x: x.sharding, opt_state)
+        )
+        step0 = int(rv.get("optax_step", 0))
+        print(f"Restored optimizer state at step {step0}.")
+
+    # Data pipelines
+    synth = datapath is None
+    if synth:
+        batch_fn = synth_data.make_synth_batch_fn(
+            effect, spec.in_chunk_size, spec.out_chunk_size, sr=sr, augment=True
+        )
+        val_batch_fn = synth_data.make_synth_batch_fn(
+            effect, spec.in_chunk_size, spec.out_chunk_size, sr=sr, augment=False
+        )
+    else:
+        from ..data import file_data
+
+        train_ds = file_data.FileDataset(
+            datapath + "/Train/", effect, spec.in_chunk_size, spec.out_chunk_size,
+            sr=sr, rerun=(target_type != "stream"), augment=True, compand=compand,
+        )
+        val_ds = file_data.FileDataset(
+            datapath + "/Val/", effect, spec.in_chunk_size, spec.out_chunk_size,
+            sr=sr, rerun=(target_type != "stream"), augment=False, compand=compand,
+        )
+        batch_fn = train_ds.batch_fn
+        val_batch_fn = val_ds.batch_fn
+
+    train_step = make_train_step(model, tx, batch_fn, batch_size, mesh=mesh)
+    eval_step = make_eval_step(model, val_batch_fn, batch_size, mesh=mesh)
+
+    logfilename = "vl_avg_out.dat"
+    base_key = jax.random.PRNGKey(seed)
+    steps_per_epoch = max(1, n_data_points // batch_size)
+    val_steps = max(1, (n_data_points // 4) // batch_size)
+
+    iter_count, batch_num = step0, 0
+    avg_loss, vl_avg, beta = 0.0, 0.0, 0.98
+    smoothed_loss = 0.0
+    first_time = time.time()
+
+    for epoch in range(epochs):
+        print("")
+        data_point = 0
+        for _ in range(steps_per_epoch):
+            params, opt_state, l = train_step(
+                params, opt_state, jnp.asarray(iter_count), base_key
+            )
+            data_point += batch_size
+            batch_num += 1
+            iter_count += 1
+            if 0 == batch_num % status_every:
+                lr = float(lr_fn(iter_count - 1))
+                mom = float(mom_fn(iter_count - 1))
+                avg_loss = beta * avg_loss + (1 - beta) * float(l)
+                smoothed_loss = avg_loss / (1 - beta**batch_num)
+                timediff = time.time() - first_time
+                print(
+                    f"\repoch {epoch + 1}/{epochs}, time: {timediff:.2f}: "
+                    f"lr={lr:.2e},mom={mom:.3f}, data_point {data_point}: "
+                    f"loss: {smoothed_loss:.3e}   ",
+                    end="",
+                )
+
+        # ---- eval / status / save (train.py:28-80)
+        last = None
+        for v in range(val_steps):
+            loss_val, val_mae, last = eval_step(params, jnp.asarray(v))
+            vl_avg = beta * vl_avg + (1 - beta) * float(loss_val)
+
+        with open(logfilename, "a") as f:
+            f.write(f"{epoch + 1} {vl_avg:.3e}\n")
+        with open("val_err_mae.dat", "a") as f:
+            f.write(f"{epoch + 1} {float(val_mae):.3e}\n")
+
+        if make_plots and (epoch + 1) % plot_every == 0:
+            from ..utils import plots
+
+            x_v, y_v, knobs_v, y_hat_v, _, _ = (np.asarray(a) for a in last)
+            print("\nSaving sample data plots", end="")
+            plots.plot_valdata(
+                x_v, knobs_v, y_v, y_hat_v, effect, epoch, float(loss_val),
+                target_size=spec.out_chunk_size,
+            )
+        if make_plots and (((epoch + 1) % 20 == 0) or (epoch == epochs - 1)):
+            from ..utils import plots
+
+            plots.plot_spectrograms(
+                jax.device_get(params), np.asarray(last[4]), np.asarray(last[5])
+            )
+
+        if ((epoch + 1) % cp_every == 0) or (epoch == epochs - 1):
+            checkpoint.save_checkpoint(
+                out_checkpointname, jax.device_get(params), spec, effect, epoch,
+                optax_state=jax.device_get(opt_state), step=iter_count,
+            )
+
+        if epoch == 0:
+            secs_left = (time.time() - first_time) * (epochs - 1)
+            future = time.time() + secs_left
+            print(
+                f"\nExpect run to finish in roughly {secs_left / 3600.0:.1f} hours, "
+                f"on {time.ctime(future)}"
+            )
+
+    print("\nTotal elapsed time for training loop =", time.time() - first_time)
+    return model, params
