@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Benchmark: steady-state training throughput on the flagship config.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "audio-sec/sec/chip", "vs_baseline": N}
+
+Metric: seconds of trained output audio produced per wall-clock second per
+chip, at the reference's default training config (comp_4c effect, batch 200,
+8192->2048 chunks @ 44.1 kHz) with on-device data synthesis fused into the
+train step. Baseline: the reference's published full run — 1000 epochs x
+200k chunks x 2048 output samples in 10.6 h on an RTX 2080 Ti (README.md:109)
+= 243.4 audio-sec/sec.
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+
+import jax
+import jax.numpy as jnp
+
+from signaltrain_tpu.data import synth_data
+from signaltrain_tpu.dsp import effects
+from signaltrain_tpu.models.st_model import st_model
+from signaltrain_tpu.parallel import mesh as meshlib
+from signaltrain_tpu.training import train as trainlib
+from signaltrain_tpu.utils.cache import enable_compilation_cache
+
+BASELINE_AUDIO_SEC_PER_SEC = 200_000 * 1000 * 2048 / 44100 / (10.6 * 3600)
+
+BATCH = 200
+WARMUP = 10
+ITERS = 50
+
+
+def main():
+    enable_compilation_cache()
+    effect = effects.Compressor_4c()
+    model = st_model(num_knobs=4, compute_dtype=jnp.bfloat16)
+    spec = model.spec
+    params = model.init(jax.random.PRNGKey(0))
+
+    tx, _ = trainlib.make_optimizer(
+        lr_max=1e-4, n_data_points=200_000, epochs=1000, batch_size=BATCH
+    )
+    mesh = meshlib.make_mesh(n_model=1)
+    params = jax.device_put(params, meshlib.param_shardings(mesh, params))
+    opt_state = tx.init(params)
+
+    batch_fn = synth_data.make_synth_batch_fn(
+        effect, spec.in_chunk_size, spec.out_chunk_size, sr=spec.sr, augment=True
+    )
+    step_fn = trainlib.make_train_step(model, tx, batch_fn, BATCH, mesh=mesh)
+
+    key = jax.random.PRNGKey(1)
+    for i in range(WARMUP):
+        params, opt_state, loss = step_fn(params, opt_state, jnp.asarray(i), key)
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for i in range(WARMUP, WARMUP + ITERS):
+        params, opt_state, loss = step_fn(params, opt_state, jnp.asarray(i), key)
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / ITERS
+
+    n_chips = max(1, len(jax.devices()))
+    audio_sec_per_step = BATCH * spec.out_chunk_size / spec.sr
+    value = audio_sec_per_step / dt / n_chips
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_throughput_comp4c_default",
+                "value": round(value, 2),
+                "unit": "audio-sec/sec/chip",
+                "vs_baseline": round(value / BASELINE_AUDIO_SEC_PER_SEC, 3),
+                "step_ms": round(dt * 1e3, 2),
+                "final_loss": float(loss),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
