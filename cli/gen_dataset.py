@@ -1,0 +1,218 @@
+#!/usr/bin/env python3
+"""Dataset generator CLI — mirrors the reference's gen_dataset.py surface:
+pre-generates input_*/target_* wav pairs with knob values burned into target
+filenames (4 significant figures, double-underscore convention), an 80/20
+Train/Val split, grid-spaced Train knobs when --sp is given (int2knobs), and
+an effect_info.ini.
+
+TPU-first: input synthesis and the effect run as one jitted, batched device
+program — whole BATCHES of files per device call instead of the reference's
+one-file-per-process mp.Pool fan-out (gen_dataset.py:233-241).
+"""
+
+import argparse
+import glob
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser(
+        description="Generate synthetic data. Train will have knob-values "
+        "equally spaced, Val will be random",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    parser.add_argument("name", help="Name of the dataset (creates new subdirectory)")
+    parser.add_argument(
+        "-d", "--dur", type=float,
+        help="Duration of generated input (& ouput) files, in seconds (approximate)",
+        default=5,
+    )
+    parser.add_argument(
+        "--sp", type=int, help="Settings per knob (in Train set)", default=None
+    )
+    parser.add_argument(
+        "-n", "--num", type=int,
+        help="Number of audio files to generate (turned off if --sp option enabled)",
+        default=20000,
+    )
+    parser.add_argument("-e", "--effect", help="Name of effect to use", default="comp_4c")
+    parser.add_argument("--inpath", help="Can read audio input files from here", default=None)
+    parser.add_argument("--sr", type=int, help="Sampling rate", default=44100)
+    parser.add_argument(
+        "--device-batch", type=int, default=64,
+        help="files synthesized per device call",
+    )
+    parser.add_argument("--seed", type=int, default=1)
+    args = parser.parse_args()
+
+    if args.sp is None:
+        print(
+            "Warning: Defaults will generate approximately",
+            33.7 * args.num / 20000 * args.dur / 5,
+            "GB of audio in Train/ and Val/ directories",
+        )
+    gen_synth_data(args)
+
+
+def gen_synth_data(args):
+    import jax
+    import jax.numpy as jnp
+
+    from signaltrain_tpu.data import audio_io
+    from signaltrain_tpu.dsp import effects as fx, knobs as knobs_mod, synths
+    from signaltrain_tpu.utils.cache import enable_compilation_cache
+
+    np.random.seed(args.seed)
+    enable_compilation_cache()
+
+    name, sr, settings_per, inpath = args.name, args.sr, args.sp, args.inpath
+    num_outfiles = args.num
+
+    gen_effects = ("comp_4c", "comp", "comp_t", "comp_4c_large", "comp_one")
+    if args.effect not in gen_effects:
+        print("Sorry, not set up to work for other effects")
+        sys.exit(1)
+    effect = fx.make_effect(args.effect, sr=sr)
+    effect.info()
+    nk = len(effect.knob_ranges)
+
+    train_val_split = 0.8
+    if settings_per is not None:
+        num_train_files = int(settings_per**nk)
+        if (inpath is None) or (("Train" not in inpath) and ("Val" not in inpath)):
+            num_outfiles = int(num_train_files / train_val_split)
+        else:
+            num_outfiles = num_train_files
+        print(
+            f"Evenly spacing {settings_per} settings across {nk} knob(s), for "
+            f"{num_train_files} files in Train and {num_outfiles} total files"
+        )
+
+    for d in [name, name + "/Train", name + "/Val"]:
+        os.makedirs(d, exist_ok=True)
+
+    with open(name + "/effect_info.ini", "w") as f:
+        print("[effect]", file=f)
+        print(f"name = {effect.name}", file=f)
+        print(f"knob_names = {effect.knob_names}", file=f)
+        print(f"knob_ranges = {np.asarray(effect.knob_ranges).tolist()}", file=f)
+
+    clip_length = 4096
+    num_clips = int(np.ceil(args.dur * sr / clip_length))
+    signal_length = clip_length * num_clips
+
+    infile_list = None
+    if inpath is not None:
+        infile_list = glob.glob(inpath + "/*.wav") + glob.glob(inpath + "/*/*.wav")
+        infile_list = [x for x in infile_list if "target" not in x]
+        print("\ninfile_list =", infile_list)
+    else:
+        print(f"Number of {clip_length}-length clips per synthesized input file: {num_clips}")
+
+    start_output_i = len(glob.glob(name + "/*/input*"))  # append-safe indexing
+
+    # ---- knob settings per file (host): grid for Train via int2knobs,
+    # random for Val / beyond the grid (gen_dataset.py:116-133)
+    all_knobs_wc, all_outpaths, all_inputs_from_file = [], [], []
+    for i in range(num_outfiles):
+        if infile_list is not None:
+            infilename = infile_list[i % len(infile_list)]
+            sub = "Train/" if "Train" in infilename else (
+                "Val/" if "Val" in infilename else "Test/"
+            )
+            os.makedirs(os.path.join(name, sub), exist_ok=True)
+            all_outpaths.append(sub)
+            all_inputs_from_file.append(infilename)
+        else:
+            all_outpaths.append("Val/" if i / num_outfiles > 0.8 else "Train/")
+            all_inputs_from_file.append(None)
+        in_train = all_outpaths[-1] in ("Train/", "Val/")
+        if (not in_train) or settings_per is None or i >= settings_per**nk:
+            knobs_nn = np.random.rand(nk) - 0.5
+            kw = np.asarray(effect.knobs_wc(knobs_nn))
+        else:
+            kw = np.asarray(
+                knobs_mod.int2knobs(i, np.asarray(effect.knob_ranges), settings_per)
+            )
+        # 4 significant figures, round-trip through the string
+        all_knobs_wc.append([float("%s" % float("%.4g" % v)) for v in kw])
+
+    # ---- batched synthesis + effect on device
+    t = jnp.arange(clip_length, dtype=jnp.float32) / sr
+    choosers = (0, 1, 2, 4, 6, 7, 8, 9)  # gen_dataset.py:101 (skips spikes)
+    db = args.device_batch
+
+    def synth_file(key):
+        keys = jax.random.split(key, num_clips)
+
+        def one_clip(k):
+            kc, ks = jax.random.split(k)
+            ch = synths.choose_from(kc, choosers)
+            y = synths.synth_input_sample(ks, t, ch, branch_set=choosers)
+            # conditional normalization (gen_dataset.py:106-108)
+            m = jnp.max(jnp.abs(y))
+            return jnp.where(m > 1.0, y / m, y)
+
+        return jax.vmap(one_clip)(keys).reshape(-1)
+
+    @jax.jit
+    def gen_device_batch(key, knobs_wc_batch):
+        keys = jax.random.split(key, db)
+        x = jax.vmap(synth_file)(keys)  # (db, signal_length)
+        kr = jnp.asarray(effect.knob_ranges)
+        knobs_nn = (knobs_wc_batch - kr[None, :, 0]) / (
+            kr[None, :, 1] - kr[None, :, 0]
+        ) - 0.5
+        y, x = effect.go_batch(x, knobs_nn, keys=keys)
+        return x, y
+
+    log_every = 100
+    base_key = jax.random.PRNGKey(args.seed)
+    for b0 in range(0, num_outfiles, db):
+        bend = min(b0 + db, num_outfiles)
+        kw_batch = np.zeros((db, nk), np.float32)
+        kw_batch[: bend - b0] = np.asarray(all_knobs_wc[b0:bend], np.float32)
+
+        if infile_list is None:
+            x, y = gen_device_batch(jax.random.fold_in(base_key, b0), jnp.asarray(kw_batch))
+            x, y = np.asarray(x), np.asarray(y)
+        else:
+            # crop real audio on host, run the effect batched on device
+            xs = np.zeros((db, signal_length), np.float32)
+            for j, i in enumerate(range(b0, bend)):
+                sig, _ = audio_io.read_audio_file(
+                    all_inputs_from_file[i], sr=sr, warn=False
+                )
+                if signal_length >= len(sig):
+                    xs[j, : len(sig)] = sig
+                else:
+                    ri = np.random.randint(0, len(sig) - signal_length - 1 + 1)
+                    xs[j] = sig[ri : ri + signal_length]
+            kr = np.asarray(effect.knob_ranges)
+            knobs_nn = (kw_batch - kr[None, :, 0]) / (kr[None, :, 1] - kr[None, :, 0]) - 0.5
+            keys = jax.random.split(jax.random.fold_in(base_key, b0), db)
+            y, x = effect.go_batch(jnp.asarray(xs), jnp.asarray(knobs_nn), keys=keys)
+            x, y = np.asarray(x), np.asarray(y)
+
+        for j, i in enumerate(range(b0, bend)):
+            out_idx = start_output_i + i
+            outpath = os.path.join(name, all_outpaths[i])
+            knobs_str = "".join("__%s" % v for v in all_knobs_wc[i])
+            fin = os.path.join(outpath, f"input_{out_idx}_.wav")
+            ftg = os.path.join(outpath, f"target_{out_idx}_{effect.name}{knobs_str}.wav")
+            if i % log_every == 0:
+                print(
+                    f"outfile_i = {i}/{num_outfiles}, outpath = {outpath}, "
+                    f"outfilename_input = {fin}, target = {ftg}"
+                )
+            audio_io.write_audio_file(fin, x[j].astype(np.float32), sr)
+            audio_io.write_audio_file(ftg, y[j].astype(np.float32), sr)
+
+
+if __name__ == "__main__":
+    main()

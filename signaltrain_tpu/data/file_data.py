@@ -1,0 +1,172 @@
+"""Pre-recorded file datasets (reference: AudioFileDataSet, datasets.py:64-259).
+
+Reads sorted input_*/target_* wav pairs, parses world-coordinate knob values
+from the double-underscore filename convention
+('target_9400_Compressor_4c__-10.95__3.428__0.005043__0.01308.wav',
+datasets.py:178-186), aligns mismatched lengths to their ends, swaps x/y for
+inverse effects, and optionally mu-law compands.
+
+TPU-first sampling: when the preloaded corpus fits the device budget, audio
+lives in HBM as padded (F, L) arrays and each training batch is random-cropped
+ON DEVICE inside the jitted train step (dynamic_slice per example) — the
+file-data analog of the fused synth pipeline. Oversized corpora (e.g. the
+21 GB LA2A set) fall back to host-RAM sampling with async device_put.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import audio_io
+
+
+def mu_compand_np(y, mu: float = 32.0):
+    return np.sign(y) * np.log1p(mu * np.abs(y)) / np.log1p(mu)
+
+
+def parse_knob_string(knob_str: str, ext: str = ".wav") -> np.ndarray:
+    """Filename -> world-coordinate knob values (datasets.py:178-186)."""
+    knob_list = knob_str.replace(ext, "").split("__")[1:]
+    return np.array([float(x) for x in knob_list], dtype=np.float32)
+
+
+class FileDataset:
+    def __init__(
+        self,
+        path: str,
+        effect,
+        chunk_size: int,
+        y_size: int | None = None,
+        sr: int = 44100,
+        rerun: bool = False,
+        augment: bool = True,
+        align_end: bool = True,
+        compand: bool = False,
+        device_resident_limit_bytes: int = 4 << 30,
+        max_files: int = 100000,
+    ):
+        self.effect = effect
+        self.chunk_size = chunk_size
+        self.y_size = y_size if y_size is not None else chunk_size
+        self.sr = sr
+        self.rerun = rerun
+        self.augment = augment
+        self.compand = compand
+
+        self.input_filenames = sorted(glob.glob(os.path.join(path, "input_*")))
+        self.target_filenames = sorted(glob.glob(os.path.join(path, "target_*")))
+        print(
+            f"FileDataset: Found {len(self.input_filenames)} input files and "
+            f"{len(self.target_filenames)} target files in path {path}"
+        )
+        assert len(self.input_filenames) == len(self.target_filenames), (
+            "input/target file count mismatch"
+        )
+        assert self.input_filenames, f"no input_* files found in {path}"
+
+        n_files = min(max_files, len(self.input_filenames))
+        xs, ys, knobs = [], [], []
+        for i in range(n_files):
+            x, _ = audio_io.read_audio_file(self.input_filenames[i], sr=sr, warn=False)
+            y, _ = audio_io.read_audio_file(self.target_filenames[i], sr=sr, warn=False)
+            if len(x) != len(y):
+                if align_end:
+                    minlen = min(len(x), len(y))
+                    x, y = x[-minlen:], y[-minlen:]
+            if effect.is_inverse:
+                x, y = y, x
+            if compand:
+                x, y = mu_compand_np(x), mu_compand_np(y)
+            kw = parse_knob_string(self.target_filenames[i])
+            xs.append(x)
+            ys.append(y)
+            knobs.append(kw)
+
+        kr = np.asarray(effect.knob_ranges, dtype=np.float32)
+        knobs_wc = np.stack(knobs)
+        self.knobs_nn = (knobs_wc - kr[None, :, 0]) / (
+            kr[None, :, 1] - kr[None, :, 0]
+        ) - 0.5
+
+        self.lengths = np.array([len(x) for x in xs], dtype=np.int32)
+        assert int(self.lengths.min()) > chunk_size, (
+            f"every file must be longer than chunk_size={chunk_size}; "
+            f"shortest is {int(self.lengths.min())}"
+        )
+        max_len = int(self.lengths.max())
+        total_bytes = 2 * len(xs) * max_len * 4
+        self.device_resident = total_bytes <= device_resident_limit_bytes
+        x_arr = np.zeros((len(xs), max_len), np.float32)
+        y_arr = np.zeros((len(xs), max_len), np.float32)
+        for i, (x, y) in enumerate(zip(xs, ys)):
+            x_arr[i, : len(x)] = x
+            y_arr[i, : len(y)] = y
+
+        if self.device_resident:
+            self.x = jnp.asarray(x_arr)
+            self.y = jnp.asarray(y_arr)
+            self._lengths = jnp.asarray(self.lengths)
+            self._knobs = jnp.asarray(self.knobs_nn)
+        else:
+            print(
+                f"FileDataset: corpus ~{total_bytes / 1e9:.1f} GB exceeds the "
+                "device budget; sampling on host"
+            )
+            self.x, self.y = x_arr, y_arr
+
+        print("    ...finished preloading")
+
+    # ------------------------------------------------ device-resident path
+
+    def batch_fn(self, keys):
+        """Jittable batch sampler: keys (B, 2) -> (x, y, knobs). Random file
+        + random in-file crop per example (datasets.py:225-253)."""
+        if not self.device_resident:
+            raise RuntimeError("corpus is host-resident; use host_batches()")
+
+        chunk, y_size = self.chunk_size, self.y_size
+
+        def sample_one(key):
+            kf, kc, ka = jax.random.split(key, 3)
+            i = jax.random.randint(kf, (), 0, self.x.shape[0])
+            limit = self._lengths[i] - chunk
+            start = jnp.minimum(
+                (jax.random.uniform(kc) * limit).astype(jnp.int32), limit - 1
+            )
+            x_item = jax.lax.dynamic_slice(self.x[i], (start,), (chunk,))
+            y_item = jax.lax.dynamic_slice(self.y[i], (start,), (chunk,))
+            return x_item, y_item, self._knobs[i], ka
+
+        x, y, knobs, aug_keys = jax.vmap(sample_one)(keys)
+        if self.rerun:  # re-run the effect per chunk (causality hack)
+            y, x = self.effect.go_batch(x, knobs, keys=aug_keys)
+        y = y[:, -y_size:]
+        if self.augment:
+            sign = jnp.where(
+                jax.vmap(jax.random.bernoulli)(aug_keys)[:, None], -1.0, 1.0
+            )
+            x, y = x * sign, y * sign
+        return x, y, knobs
+
+    # ----------------------------------------------------- host-RAM path
+
+    def host_batch(self, batch_size: int, rng: np.random.Generator):
+        """Numpy batch sampler for corpora too large for HBM."""
+        idx = rng.integers(0, len(self.lengths), size=batch_size)
+        x = np.empty((batch_size, self.chunk_size), np.float32)
+        y = np.empty((batch_size, self.chunk_size), np.float32)
+        for j, i in enumerate(idx):
+            start = rng.integers(0, self.lengths[i] - self.chunk_size)
+            x[j] = self.x[i, start : start + self.chunk_size]
+            y[j] = self.y[i, start : start + self.chunk_size]
+        knobs = self.knobs_nn[idx]
+        yb = y[:, -self.y_size :]
+        if self.augment:
+            sign = np.where(rng.random(batch_size) < 0.5, -1.0, 1.0).astype(np.float32)
+            x, yb = x * sign[:, None], yb * sign[:, None]
+        return x, yb, knobs.astype(np.float32)

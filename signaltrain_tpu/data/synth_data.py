@@ -39,15 +39,24 @@ def make_synth_batch_fn(
     t = jnp.arange(chunk_size, dtype=jnp.float32) / sr
     nk = effect.num_knobs
 
-    def gen_one(key):
-        kc, ks, kk, ke, ka = jax.random.split(key, 5)
-        chooser = synths.choose_from(kc, choosers)
-        x = synths.synth_input_sample(ks, t, chooser)
+    def gen_aux(key):
+        kk, ke, ka = jax.random.split(key, 3)
         knobs = synths.random_ends(kk, (nk,)) - 0.5
-        y, x = effect.go(x, knobs, key=ke)
-        y = y[-y_size:]
+        return knobs, ke, ka
+
+    def gen_batch(keys):
+        # Inputs come from the stratified per-branch generator (each synth
+        # branch computes only its share of the batch); the effect runs
+        # natively batched so the Pallas envelope kernel sees (B, N) at once.
+        b = keys.shape[0]
+        xs = synths.stratified_synth_batch(keys[0], t, choosers, b)
+        knobs, eff_keys, aug_keys = jax.vmap(gen_aux)(keys)
+        y, x = effect.go_batch(xs, knobs, keys=eff_keys)
+        y = y[:, -y_size:]
         if augment:
-            sign = jnp.where(jax.random.bernoulli(ka), -1.0, 1.0)
+            sign = jnp.where(
+                jax.vmap(jax.random.bernoulli)(aug_keys)[:, None], -1.0, 1.0
+            )
             x, y = x * sign, y * sign
         return (
             x.astype(jnp.float32),
@@ -55,7 +64,7 @@ def make_synth_batch_fn(
             knobs.astype(jnp.float32),
         )
 
-    return jax.vmap(gen_one)
+    return gen_batch
 
 
 def batch_keys(base_key, step, batch_size: int):

@@ -22,6 +22,42 @@ from . import iir
 LOG10 = 2.302585092994046
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def _per_example(k, x):
+    """Broadcast a knob value against x (..., N): scalars pass through;
+    per-example vectors get a trailing singleton axis."""
+    k = jnp.asarray(k)
+    if k.ndim == 0:
+        return k
+    return k.reshape(x.shape[:-1] + (1,))
+
+
+def _smooth(g, alpha_a, alpha_r):
+    """Dispatch the switched one-pole smoother: Pallas kernel on TPU
+    (~30x faster than the scan, and the scan's huge unrolled graphs also
+    compile pathologically slowly on this backend), lax.scan elsewhere."""
+    if g.ndim in (1, 2) and _on_tpu():
+        from ..ops import pallas_kernels
+
+        g2 = g[None, :] if g.ndim == 1 else g
+        b = g2.shape[0]
+        aa = jnp.broadcast_to(jnp.asarray(alpha_a).reshape(-1), (b,))
+        ar = jnp.broadcast_to(jnp.asarray(alpha_r).reshape(-1), (b,))
+        out = pallas_kernels.switched_one_pole_batched(g2, aa, ar)
+        return out[0] if g.ndim == 1 else out
+    a_a = jnp.asarray(alpha_a)
+    a_r = jnp.asarray(alpha_r)
+    if a_a.ndim:  # drop the trailing knob axis for the scan carry
+        a_a, a_r = a_a.reshape(g.shape[:-1]), a_r.reshape(g.shape[:-1])
+    return iir.switched_one_pole(g, a_a, a_r)
+
+
 def compressor_4controls(
     x: jnp.ndarray,
     thresh=-24.0,
@@ -38,7 +74,14 @@ def compressor_4controls(
       env   = switched one-pole smoothing of gc_dB with
               alpha_{a,r} = exp(-ln 9 / (sr * t_{attack,release})), env[0]=0
       y     = x * 10^(env/20)
+
+    x may be (N,) or batched (B, N); knob values may be scalars or (B,)
+    per-example vectors (the fused-training data path).
     """
+    thresh = _per_example(thresh, x)
+    ratio = _per_example(ratio, x)
+    attack_time = _per_example(attack_time, x)
+    release_time = _per_example(release_time, x)
     alpha_a = jnp.exp(-jnp.log(9.0) / (sr * attack_time))
     alpha_r = jnp.exp(-jnp.log(9.0) / (sr * release_time))
 
@@ -47,7 +90,7 @@ def compressor_4controls(
     gain_change_db = jnp.where(
         x_db > thresh, thresh + (x_db - thresh) / ratio - x_db, 0.0
     )
-    env = iir.switched_one_pole(gain_change_db, alpha_a, alpha_r)
+    env = _smooth(gain_change_db, alpha_a, alpha_r)
     return jnp.power(10.0, env / 20.0) * x
 
 
@@ -60,14 +103,20 @@ def compressor(
 ) -> jnp.ndarray:
     """3-knob compressor with a one-pole-butterworth dB envelope
     (audio.py:348-371): the envelope filter cutoff is 1/attack_samples
-    (normalized to Nyquist), lfilter seeded with zi * dB[0]."""
-    attack_samples = attackrel * sr
-    fc = 1.0 / attack_samples
-    b, a = iir.butter_lowpass(1, fc)
+    (normalized to Nyquist), lfilter seeded with zi * dB[0].
+
+    Accepts (N,) or batched (B, N) signals with scalar or (B,) knobs."""
+    thresh = _per_example(thresh, x)
+    ratio = _per_example(ratio, x)
+    fc = 1.0 / (jnp.asarray(attackrel) * sr)
+    if fc.ndim:
+        b, a = jax.vmap(lambda w: iir.butter_lowpass(1, w))(fc.reshape(-1))
+    else:
+        b, a = iir.butter_lowpass(1, fc)
 
     db = 20.0 * jnp.log10(jnp.abs(x) + 1e-6)
     # order-1 steady-state initial condition (scipy lfilter_zi closed form)
-    zi = (b[1] - a[1] * b[0]) / (1.0 + a[1])
+    zi = (b[..., 1] - a[..., 1] * b[..., 0]) / (1.0 + a[..., 1])
     in_env = iir.lfilter(b, a, db, zi=(zi * db[..., 0])[..., None])
     out_env = jnp.where(in_env > thresh, thresh + (in_env - thresh) / ratio, in_env)
     gain = jnp.power(10.0, (out_env - in_env) / 20.0)

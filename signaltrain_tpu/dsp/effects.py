@@ -59,6 +59,23 @@ class Effect:
         """Main training/inference interface (audio.py:477-480)."""
         return self.go_wc(x, self.knobs_wc(knobs_nn), key=key)
 
+    def go_batch(self, x, knobs_nn, keys=None):
+        """Batched interface: x (B, N), knobs_nn (B, K), keys (B, 2) or None.
+
+        Default falls back to vmap over go(); compressor subclasses override
+        with natively-batched kernels so the Pallas envelope smoother sees
+        the whole batch at once (the fused-training hot path).
+        """
+        if keys is None:
+            return jax.vmap(lambda xi, ki: self.go(xi, ki))(x, knobs_nn)
+        return jax.vmap(lambda xi, ki, ky: self.go(xi, ki, key=ky))(x, knobs_nn, keys)
+
+    def _knobs_wc_batch(self, knobs_nn):
+        kr = jnp.asarray(self.knob_ranges)
+        return kr[None, :, 0] + (jnp.asarray(knobs_nn) + 0.5) * (
+            kr[None, :, 1] - kr[None, :, 0]
+        )
+
 
 class Compressor(Effect):
     """3-knob compressor w/ butterworth envelope (audio.py:484-491)."""
@@ -72,6 +89,13 @@ class Compressor(Effect):
     def go_wc(self, x, knobs_wc, key=None):
         y = compressors.compressor(
             x, thresh=knobs_wc[0], ratio=knobs_wc[1], attackrel=knobs_wc[2], sr=self.sr
+        )
+        return y, x
+
+    def go_batch(self, x, knobs_nn, keys=None):
+        wc = self._knobs_wc_batch(knobs_nn)
+        y = compressors.compressor(
+            x, thresh=wc[:, 0], ratio=wc[:, 1], attackrel=wc[:, 2], sr=self.sr
         )
         return y, x
 
@@ -94,6 +118,18 @@ class Compressor_4c(Effect):
             ratio=knobs_wc[1],
             attack_time=knobs_wc[2],
             release_time=knobs_wc[3],
+            sr=self.sr,
+        )
+        return y, x
+
+    def go_batch(self, x, knobs_nn, keys=None):
+        wc = self._knobs_wc_batch(knobs_nn)
+        y = compressors.compressor_4controls(
+            x,
+            thresh=wc[:, 0],
+            ratio=wc[:, 1],
+            attack_time=wc[:, 2],
+            release_time=wc[:, 3],
             sr=self.sr,
         )
         return y, x
@@ -126,6 +162,18 @@ class Comp_Just_Thresh(Effect):
         y = compressors.compressor_4controls(
             x,
             thresh=knobs_wc[0],
+            ratio=self.ratio,
+            attack_time=self.attack,
+            release_time=self.release,
+            sr=self.sr,
+        )
+        return y, x
+
+    def go_batch(self, x, knobs_nn, keys=None):
+        wc = self._knobs_wc_batch(knobs_nn)
+        y = compressors.compressor_4controls(
+            x,
+            thresh=wc[:, 0],
             ratio=self.ratio,
             attack_time=self.attack,
             release_time=self.release,
@@ -220,6 +268,14 @@ class DeCompressor_4c(Effect):
         )
         return x, y  # swapped
 
+    def go_batch(self, x, knobs_nn, keys=None):
+        wc = self._knobs_wc_batch(knobs_nn)
+        y = compressors.compressor_4controls(
+            x, thresh=wc[:, 0], ratio=wc[:, 1],
+            attack_time=wc[:, 2], release_time=wc[:, 3],
+        )
+        return x, y
+
 
 class TimeAlign(Effect):
     """Ignores x; re-synthesizes a centered onset signal and emits a randomly
@@ -263,6 +319,12 @@ class LowPass(Effect):
     def go_wc(self, x, knobs_wc, key=None, order: int = 3):
         nyq = 0.5 * self.sr
         b, a = iir.butter_lowpass(order, knobs_wc[0] / nyq)
+        return iir.lfilter(b, a, x), x
+
+    def go_batch(self, x, knobs_nn, keys=None, order: int = 3):
+        wc = self._knobs_wc_batch(knobs_nn)
+        nyq = 0.5 * self.sr
+        b, a = jax.vmap(lambda w: iir.butter_lowpass(order, w))(wc[:, 0] / nyq)
         return iir.lfilter(b, a, x), x
 
 

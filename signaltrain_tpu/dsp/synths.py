@@ -54,7 +54,8 @@ def normish(key, y, amp_range=(0.6, 0.9)):
 
 @functools.lru_cache(maxsize=8)
 def _irfft_cos_matrix(n: int):
-    """Half-spectrum inverse-rFFT cosine matrix, (n//2+1, n//2+1) fp32.
+    """Half-spectrum inverse-rFFT cosine matrix, (n//2+1, n//2+1), as a
+    DEVICE-RESIDENT array.
 
     This TPU backend implements no FFT, so the reference's
     np.fft.irfft(real_spectrum) (audio.py:93) becomes one MXU GEMM:
@@ -62,28 +63,39 @@ def _irfft_cos_matrix(n: int):
                         + c_{n/2} cos(pi m)]
     The output of an irfft of a REAL spectrum is even-symmetric, so only
     m = 0..n/2 is computed and the rest is mirrored — half the FLOPs.
+
+    Caching the jnp array (not numpy) matters twice over: every pinknoise
+    call site closes over the SAME buffer (one hidden executable argument,
+    not per-site HLO constants), and building it with jnp computes the 67 MB
+    table ON DEVICE instead of shipping it host->device (this environment
+    tunnels TPU traffic through a slow relay).
     """
-    import numpy as _np
-
     nf = n // 2 + 1
-    k = _np.arange(nf)[:, None]
-    m = _np.arange(nf)[None, :]
-    mat = 2.0 * _np.cos(2.0 * _np.pi * k * m / n) / n
-    mat[0] /= 2.0
-    mat[-1] /= 2.0
-    return mat.astype(_np.float32)
+    # ensure_compile_time_eval: the first call may happen inside a jit trace
+    # (lru_cache would otherwise capture a tracer); this evaluates eagerly on
+    # device regardless.
+    with jax.ensure_compile_time_eval():
+        k = jnp.arange(nf, dtype=jnp.float32)[:, None]
+        m = jnp.arange(nf, dtype=jnp.float32)[None, :]
+        mat = 2.0 * jnp.cos(2.0 * jnp.pi / n * (k * m % n)) / n
+        mat = mat.at[0, :].mul(0.5)
+        mat = mat.at[-1, :].mul(0.5)
+    return jax.block_until_ready(mat)
 
 
-def pinknoise(key, n: int):
+def pinknoise(key, n: int, precision=None):
     """1/f noise: inverse rFFT of a 1/sqrt(f)-shaped uniform spectrum
-    (audio.py:85-94), via cosine GEMM (no FFT on TPU). n must be even."""
+    (audio.py:85-94), via cosine GEMM (no FFT on TPU). n must be even.
+
+    precision=None uses the fast default GEMM passes (noise does not need
+    them exact); tests pass Precision.HIGHEST to compare against np.fft."""
     n_f = n // 2 + 1
     noise = 2.0 * _u(key, (n_f,)) - 1.0
     s = jnp.sqrt(jnp.arange(n_f) + 1.0)
     y_half = jnp.dot(
         noise / s,
-        jnp.asarray(_irfft_cos_matrix(n)),
-        precision=jax.lax.Precision.HIGHEST,
+        _irfft_cos_matrix(n),
+        precision=precision,
         preferred_element_type=jnp.float32,
     )
     y = jnp.concatenate([y_half, y_half[1:-1][::-1]])
@@ -213,14 +225,13 @@ def triangle(key, t, t0_fac=None):
     return x + amp_n * pinknoise(k_p, t.shape[0])
 
 
-def synth_input_sample(key, t, chooser, t0_fac=None):
-    """12-way synthetic input chooser (audio.py:296-334).
+def _branch_fn(chooser: int, t, t0_fac=None):
+    """The body of synth branch `chooser` (audio.py:303-331) as f(key) -> (N,).
 
-    chooser may be a traced int (lax.switch over equal-shape branches) so the
-    per-example choice lives inside the jitted train step. Applies the global
-    random polarity flip + epsilon noise at the end.
+    Shared by the traced-chooser switch (synth_input_sample) and the
+    stratified batch generator (stratified_synth_batch), which avoids
+    executing every branch for every example.
     """
-    k_branch, k_sign, k_eps = jax.random.split(key, 3)
     n = t.shape[0]
 
     def c0(k):
@@ -278,10 +289,59 @@ def synth_input_sample(key, t, chooser, t0_fac=None):
         amp_n = 0.6 * _u(k1) + 0.2
         return amp_n * pinknoise(k2, n)
 
-    branches = [c0, c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11]
-    y = jax.lax.switch(jnp.asarray(chooser, jnp.int32), branches, k_branch)
-    sign = jnp.sign(jax.random.rademacher(k_sign, ()))
+    return [c0, c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11][chooser]
+
+
+def _finish(key, y, n):
+    """Global random polarity flip + tiny noise floor (audio.py:334)."""
+    k_sign, k_eps = jax.random.split(key)
+    sign = jnp.sign(jax.random.rademacher(k_sign, ())).astype(y.dtype)
     return y * sign + _u(k_eps, (n,)) * 1e-8
+
+
+def synth_input_sample(key, t, chooser, t0_fac=None, branch_set=None):
+    """12-way synthetic input chooser (audio.py:296-334).
+
+    chooser may be a traced int (lax.switch over equal-shape branches) so the
+    per-example choice lives inside the jitted train step. When branch_set is
+    given (a static tuple of chooser ids), only those branches are traced and
+    `chooser` indexes INTO branch_set — 2-6x smaller graphs when the caller
+    restricts the set (training uses 6 of the 12, datasets.py:317).
+    """
+    k_branch, k_finish = jax.random.split(key)
+    n = t.shape[0]
+    ids = tuple(range(12)) if branch_set is None else tuple(branch_set)
+    branches = [_branch_fn(c, t, t0_fac) for c in ids]
+    y = jax.lax.switch(jnp.asarray(chooser, jnp.int32), branches, k_branch)
+    return _finish(k_finish, y, n)
+
+
+def stratified_synth_batch(key, t, choosers=DEFAULT_CHOOSERS, batch: int = 1):
+    """Synthesize a batch with EXACTLY-even chooser coverage, one vmap per
+    branch — each branch computes only its share of the batch (~6x cheaper
+    than vmapping a 6-way switch, which evaluates every branch for every
+    example). A random permutation restores exchangeability; per-batch
+    chooser counts are deterministic instead of multinomial, which is the
+    only departure from the reference's sampler (datasets.py:317).
+    """
+    n_br = len(choosers)
+    k_perm, k_gen = jax.random.split(key)
+    keys = jax.random.split(k_gen, batch)
+    counts = [batch // n_br + (1 if i < batch % n_br else 0) for i in range(n_br)]
+    parts, start = [], 0
+    for c, cnt in zip(choosers, counts):
+        if cnt == 0:
+            continue
+        fn = _branch_fn(c, t)
+        sub = keys[start : start + cnt]
+        ys = jax.vmap(lambda k: _finish(
+            jax.random.split(k)[1], fn(jax.random.split(k)[0]), t.shape[0]
+        ))(sub)
+        parts.append(ys)
+        start += cnt
+    x = jnp.concatenate(parts, axis=0)
+    perm = jax.random.permutation(k_perm, batch)
+    return x[perm]
 
 
 def choose_from(key, choices: Sequence[int]):

@@ -90,6 +90,46 @@ def make_train_step(model: STModel, tx, batch_fn, batch_size, mesh=None,
     return jax.jit(step_fn, donate_argnums=(0, 1))
 
 
+def make_train_step_from_arrays(model: STModel, tx, mesh=None,
+                                clip_max_norm: float = 1.0):
+    """Train-step variant fed with host-sampled (x, y, knobs) arrays — used
+    when a file corpus exceeds HBM (e.g. the 21 GB LA2A set)."""
+    n_bins = model.spec.ft_size // 2 + 1
+    scale = loss_mod.freq_scale(n_bins)
+    dsh = meshlib.data_sharding(mesh) if mesh is not None else None
+
+    def step_fn(params, opt_state, x, y, knobs):
+        if dsh is not None:
+            x, y, knobs = (
+                jax.lax.with_sharding_constraint(a, dsh) for a in (x, y, knobs)
+            )
+
+        def loss_fn(p):
+            y_hat, _, mag_hat = model.module.apply(p, x, knobs)
+            return loss_mod.calc_loss(y_hat, y, mag_hat, scale_by_freq=scale)
+
+        l, grads = jax.value_and_grad(loss_fn)(params)
+        grads = clip_frontend_grads(grads, clip_max_norm)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, l
+
+    return jax.jit(step_fn, donate_argnums=(0, 1))
+
+
+def make_eval_step_from_arrays(model: STModel, mesh=None):
+    n_bins = model.spec.ft_size // 2 + 1
+    scale = loss_mod.freq_scale(n_bins)
+
+    def eval_fn(params, x, y, knobs):
+        y_hat, mag, mag_hat = model.module.apply(params, x, knobs)
+        l = loss_mod.calc_loss(y_hat, y, mag_hat, scale_by_freq=scale)
+        mae = loss_mod.mae(y.astype(jnp.float32), y_hat.astype(jnp.float32))
+        return l, mae, (x, y, knobs, y_hat, mag, mag_hat)
+
+    return jax.jit(eval_fn)
+
+
 def make_eval_step(model: STModel, val_batch_fn, batch_size, val_seed: int = 7,
                    mesh=None):
     n_bins = model.spec.ft_size // 2 + 1
@@ -187,6 +227,7 @@ def train(
 
     # Data pipelines
     synth = datapath is None
+    host_data = False
     if synth:
         batch_fn = synth_data.make_synth_batch_fn(
             effect, spec.in_chunk_size, spec.out_chunk_size, sr=sr, augment=True
@@ -205,11 +246,19 @@ def train(
             datapath + "/Val/", effect, spec.in_chunk_size, spec.out_chunk_size,
             sr=sr, rerun=(target_type != "stream"), augment=False, compand=compand,
         )
-        batch_fn = train_ds.batch_fn
-        val_batch_fn = val_ds.batch_fn
+        host_data = not train_ds.device_resident
+        if not host_data:
+            batch_fn = train_ds.batch_fn
+            val_batch_fn = val_ds.batch_fn
 
-    train_step = make_train_step(model, tx, batch_fn, batch_size, mesh=mesh)
-    eval_step = make_eval_step(model, val_batch_fn, batch_size, mesh=mesh)
+    if host_data:
+        train_step_arr = make_train_step_from_arrays(model, tx, mesh=mesh)
+        eval_step_arr = make_eval_step_from_arrays(model, mesh=mesh)
+        host_rng = np.random.default_rng(seed)
+        val_rng_factory = lambda: np.random.default_rng(7)  # frozen val stream
+    else:
+        train_step = make_train_step(model, tx, batch_fn, batch_size, mesh=mesh)
+        eval_step = make_eval_step(model, val_batch_fn, batch_size, mesh=mesh)
 
     logfilename = "vl_avg_out.dat"
     base_key = jax.random.PRNGKey(seed)
@@ -225,9 +274,13 @@ def train(
         print("")
         data_point = 0
         for _ in range(steps_per_epoch):
-            params, opt_state, l = train_step(
-                params, opt_state, jnp.asarray(iter_count), base_key
-            )
+            if host_data:
+                xb, yb, kb = train_ds.host_batch(batch_size, host_rng)
+                params, opt_state, l = train_step_arr(params, opt_state, xb, yb, kb)
+            else:
+                params, opt_state, l = train_step(
+                    params, opt_state, jnp.asarray(iter_count), base_key
+                )
             data_point += batch_size
             batch_num += 1
             iter_count += 1
@@ -246,9 +299,16 @@ def train(
 
         # ---- eval / status / save (train.py:28-80)
         last = None
-        for v in range(val_steps):
-            loss_val, val_mae, last = eval_step(params, jnp.asarray(v))
-            vl_avg = beta * vl_avg + (1 - beta) * float(loss_val)
+        if host_data:
+            vrng = val_rng_factory()
+            for v in range(val_steps):
+                xb, yb, kb = val_ds.host_batch(batch_size, vrng)
+                loss_val, val_mae, last = eval_step_arr(params, xb, yb, kb)
+                vl_avg = beta * vl_avg + (1 - beta) * float(loss_val)
+        else:
+            for v in range(val_steps):
+                loss_val, val_mae, last = eval_step(params, jnp.asarray(v))
+                vl_avg = beta * vl_avg + (1 - beta) * float(loss_val)
 
         with open(logfilename, "a") as f:
             f.write(f"{epoch + 1} {vl_avg:.3e}\n")

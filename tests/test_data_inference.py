@@ -1,0 +1,155 @@
+"""End-to-end data pipeline + inference tests: gen_dataset CLI round-trip,
+FileDataset/FileEffect loading, stratified synth batches, predict_long
+geometry, and checkpoint-driven CLI inference."""
+
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from signaltrain_tpu.data import audio_io, file_data, synth_data
+from signaltrain_tpu.dsp import effects, synths
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CPU_ENV = {
+    **os.environ,
+    "PALLAS_AXON_POOL_IPS": "",  # disable the axon TPU plugin
+    "JAX_PLATFORMS": "cpu",
+}
+
+
+def test_stratified_synth_batch_stats():
+    t = jnp.arange(4096, dtype=jnp.float32) / 44100.0
+    x = synths.stratified_synth_batch(jax.random.PRNGKey(0), t, batch=13)
+    x = np.asarray(x)
+    assert x.shape == (13, 4096)
+    assert np.all(np.isfinite(x))
+    # different examples are different signals
+    assert np.std(x[0] - x[1]) > 1e-4
+
+
+def test_synth_batch_fn_shapes_and_recycle():
+    e = effects.Compressor_4c()
+    bf = synth_data.make_synth_batch_fn(e, 2048, 512)
+    keys = synth_data.val_step_keys(7, 0, 6)
+    x1, y1, k1 = bf(keys)
+    x2, y2, k2 = bf(synth_data.val_step_keys(7, 0, 6))  # same step -> same data
+    assert x1.shape == (6, 2048) and y1.shape == (6, 512) and k1.shape == (6, 4)
+    np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+    x3, _, _ = bf(synth_data.val_step_keys(7, 1, 6))  # different step -> new data
+    assert np.std(np.asarray(x1) - np.asarray(x3)) > 1e-4
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    """Generate a tiny file dataset through the real CLI (subprocess)."""
+    root = tmp_path_factory.mktemp("ds")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "cli", "gen_dataset.py"),
+         "mydata", "--dur", "0.2", "--sp", "2", "-e", "comp_4c",
+         "--device-batch", "8"],
+        cwd=root, env=CPU_ENV, capture_output=True, text=True, timeout=1200,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return os.path.join(root, "mydata")
+
+
+def test_gen_dataset_layout(tiny_dataset):
+    ds = tiny_dataset
+    assert os.path.exists(os.path.join(ds, "effect_info.ini"))
+    train_in = sorted(os.listdir(os.path.join(ds, "Train")))
+    val_in = [f for f in os.listdir(os.path.join(ds, "Val")) if f.startswith("input")]
+    # sp=2, 4 knobs -> 16 grid files, 20 total; split rule i/num > 0.8
+    # puts i=17..19 in Val (gen_dataset.py:111-114), so Train gets 17
+    # (one extra with random knobs beyond the grid).
+    n_train_in = len([f for f in train_in if f.startswith("input")])
+    assert n_train_in == 17
+    assert len(val_in) == 3
+    # filename convention: target_<i>_<Effect>__k1__k2__k3__k4.wav
+    tname = [f for f in train_in if f.startswith("target_0_")][0]
+    assert tname.startswith("target_0_Compressor_4c__")
+    knobs = file_data.parse_knob_string(tname)
+    assert knobs.shape == (4,)
+    # grid corner: file 0 should be all-min knobs (int2knobs little-endian)
+    np.testing.assert_allclose(knobs, [-30.0, 1.0, 1e-3, 1e-3], rtol=1e-3)
+
+
+def test_gen_dataset_audio_matches_effect(tiny_dataset):
+    """The written target wav must equal the effect applied to the input wav
+    at the filename's knob values."""
+    ds = os.path.join(tiny_dataset, "Train")
+    tname = [f for f in sorted(os.listdir(ds)) if f.startswith("target_3_")][0]
+    x, _ = audio_io.read_audio_file(os.path.join(ds, "input_3_.wav"), warn=False)
+    y, _ = audio_io.read_audio_file(os.path.join(ds, tname), warn=False)
+    kw = file_data.parse_knob_string(tname)
+    e = effects.Compressor_4c()
+    y2, _ = e.go_wc(jnp.asarray(x), jnp.asarray(kw))
+    np.testing.assert_allclose(y, np.asarray(y2), atol=2e-4)
+
+
+def test_file_effect_reads_ini(tiny_dataset):
+    fe = effects.make_effect("files", path=tiny_dataset)
+    assert fe.name == "Compressor_4c(files)"
+    assert fe.knob_names == ["threshold", "ratio", "attackTime", "releaseTime"]
+    np.testing.assert_allclose(fe.knob_ranges[0], [-30, 0])
+
+
+def test_file_dataset_batches(tiny_dataset):
+    e = effects.Compressor_4c()
+    ds = file_data.FileDataset(
+        os.path.join(tiny_dataset, "Train"), e, chunk_size=2048, y_size=512
+    )
+    assert ds.device_resident
+    keys = jax.random.split(jax.random.PRNGKey(0), 5)
+    x, y, knobs = jax.jit(ds.batch_fn)(keys)
+    assert x.shape == (5, 2048) and y.shape == (5, 512) and knobs.shape == (5, 4)
+    assert np.all(np.abs(np.asarray(knobs)) <= 0.5 + 1e-6)
+    assert np.all(np.isfinite(np.asarray(x)))
+
+
+def test_file_dataset_host_path(tiny_dataset):
+    e = effects.Compressor_4c()
+    ds = file_data.FileDataset(
+        os.path.join(tiny_dataset, "Train"), e, chunk_size=2048, y_size=512,
+        device_resident_limit_bytes=1,  # force host path
+    )
+    assert not ds.device_resident
+    rng = np.random.default_rng(0)
+    x, y, knobs = ds.host_batch(4, rng)
+    assert x.shape == (4, 2048) and y.shape == (4, 512) and knobs.shape == (4, 4)
+
+
+def test_predict_long_geometry():
+    from signaltrain_tpu.inference import predict_long as pl
+    from signaltrain_tpu.models.st_model import st_model
+
+    model = st_model(num_knobs=4)
+    params = model.init(jax.random.PRNGKey(0))
+    sig_len = 50000
+    t = np.arange(sig_len) / 44100.0
+    signal = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    y = pl.predict_long(signal, np.zeros(4, np.float32), model, params,
+                        batch_size=16)
+    # output covers len(signal) - lookback samples (predict_long.py:72-79)
+    lookback = model.spec.in_chunk_size - model.spec.out_chunk_size
+    assert y.shape == (sig_len - lookback,)
+    assert np.all(np.isfinite(y))
+
+
+def test_calc_ct_matches_stream_for_memoryless_gain():
+    """For a near-instant compressor, chunked and streamed targets agree in
+    the interior (the property predict_long's eval relies on)."""
+    from signaltrain_tpu.inference.predict_long import calc_ct
+
+    e = effects.Compressor_4c()
+    rs = np.random.RandomState(0)
+    sig = (rs.randn(16384) * 0.4).astype(np.float32)
+    kw = np.array([-20.0, 3.0, 1e-3, 1e-3], np.float32)
+    y_st, _ = e.go_wc(jnp.asarray(sig), jnp.asarray(kw))
+    y_ct = calc_ct(sig, e, kw, 2048, 8192)
+    err = np.abs(np.asarray(y_st)[8192:] - y_ct[8192:])
+    assert np.mean(err) < 2e-2

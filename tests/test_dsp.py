@@ -137,7 +137,7 @@ def test_pinknoise_matches_irfft_oracle():
     # same spectrum through our cosine GEMM vs np.fft.irfft
     key = jax.random.PRNGKey(0)
     n = 4096
-    y = np.asarray(synths.pinknoise(key, n))
+    y = np.asarray(synths.pinknoise(key, n, precision=jax.lax.Precision.HIGHEST))
     noise = 2.0 * np.asarray(jax.random.uniform(key, (n // 2 + 1,))) - 1.0
     s = np.sqrt(np.arange(n // 2 + 1) + 1.0)
     oracle = np.fft.irfft(noise / s)
