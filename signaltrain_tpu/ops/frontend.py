@@ -122,3 +122,57 @@ class Synthesis(nn.Module):
         frames = _gemm(spec, w, self.compute_dtype)
         wave = framing.overlap_add(frames, hop)
         return wave[:, ft:-ft]
+
+
+class FNNAnalysis(nn.Module):
+    """Frame-wise Linear analysis variant (cls_fe_dft.py:166-205; unused by
+    the reference's main path but part of its API surface): a per-frame dense
+    DFT without window or striding. (B, T, ft) -> (re, im) each (B, T, half).
+    """
+
+    ft_size: int = 1024
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, frames: jnp.ndarray):
+        ft = self.ft_size
+        half = ft // 2 + 1
+        re0, im0 = windows.dft_basis(ft)
+        w_real = self.param("w_real", _as_init(re0.astype("float32")), (ft, ft))
+        w_imag = self.param("w_imag", _as_init(im0.astype("float32")), (ft, ft))
+        w = jnp.concatenate([w_real[:half], w_imag[:half]], axis=0).T
+        spec = _gemm(frames, w, self.compute_dtype)
+        return spec[..., :half], spec[..., half:]
+
+
+class FNNSynthesis(nn.Module):
+    """Frame-wise Linear synthesis variant (cls_fe_dft.py:208-262): rebuilds
+    full-spectrum frames with the conjugate mirror folded into the weights
+    (transposed-DFT init). (re, im) each (B, T, half) -> (B, T, ft)."""
+
+    ft_size: int = 1024
+    random_init: bool = False
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:
+        ft = self.ft_size
+        half = ft // 2 + 1
+        if self.random_init:
+            w_real = self.param(
+                "w_real", jax.nn.initializers.glorot_uniform(), (ft, ft)
+            )
+            w_imag = self.param(
+                "w_imag", jax.nn.initializers.glorot_uniform(), (ft, ft)
+            )
+        else:
+            re0, im0 = windows.dft_basis(ft)
+            # torch Linear computes x @ W.T with W initialized to basis.T
+            # (cls_fe_dft.py:245-250) == x @ basis; our kernels ARE the basis.
+            w_real = self.param("w_real", _as_init(re0.astype("float32")), (ft, ft))
+            w_imag = self.param("w_imag", _as_init(im0.astype("float32")), (ft, ft))
+        wr_eff = w_real[:half].at[1 : half - 1].add(jnp.flip(w_real[half:], axis=0))
+        wi_eff = w_imag[:half].at[1 : half - 1].add(-jnp.flip(w_imag[half:], axis=0))
+        spec = jnp.concatenate([re, im], axis=-1)
+        w = jnp.concatenate([wr_eff, wi_eff], axis=0)
+        return _gemm(spec, w, self.compute_dtype)
