@@ -52,18 +52,28 @@ def main():
     batch_fn = synth_data.make_synth_batch_fn(
         effect, spec.in_chunk_size, spec.out_chunk_size, sr=spec.sr, augment=True
     )
-    step_fn = trainlib.make_train_step(model, tx, batch_fn, BATCH, mesh=mesh)
+    # 10 fused steps per device call, matching train()'s inner loop (host
+    # dispatch here rides a network relay with multi-ms jitter; fusing steps
+    # on device amortizes it, exactly as the real training loop does).
+    n_inner = 10
+    step_fn = trainlib.make_train_multi_step(
+        model, tx, batch_fn, BATCH, n_inner, mesh=mesh
+    )
 
     key = jax.random.PRNGKey(1)
-    for i in range(WARMUP):
-        params, opt_state, loss = step_fn(params, opt_state, jnp.asarray(i), key)
-    jax.block_until_ready(loss)
+    step = 0
+    for _ in range(WARMUP):
+        params, opt_state, losses = step_fn(params, opt_state, jnp.asarray(step), key)
+        step += n_inner
+    jax.block_until_ready(losses)
 
     t0 = time.perf_counter()
-    for i in range(WARMUP, WARMUP + ITERS):
-        params, opt_state, loss = step_fn(params, opt_state, jnp.asarray(i), key)
-    jax.block_until_ready(loss)
-    dt = (time.perf_counter() - t0) / ITERS
+    for _ in range(ITERS):
+        params, opt_state, losses = step_fn(params, opt_state, jnp.asarray(step), key)
+        step += n_inner
+    jax.block_until_ready(losses)
+    dt = (time.perf_counter() - t0) / (ITERS * n_inner)
+    loss = losses[-1]
 
     n_chips = max(1, len(jax.devices()))
     audio_sec_per_step = BATCH * spec.out_chunk_size / spec.sr

@@ -64,9 +64,61 @@ def make_optimizer(lr_max, n_data_points, epochs, batch_size):
 
 
 def make_train_step(model: STModel, tx, batch_fn, batch_size, mesh=None,
-                    clip_max_norm: float = 1.0):
+                    clip_max_norm: float = 1.0, use_shard_map: bool | None = None):
+    """Jitted fused train step.
+
+    Two parallelization strategies:
+    * GSPMD (default for a single chip or when the 'model' axis is used):
+      one jit with sharding constraints; XLA partitions and inserts
+      collectives. The Pallas envelope kernel is an opaque custom call to
+      GSPMD, so under real multi-chip DP it would be gathered/replicated.
+    * shard_map over 'data' (auto-selected for pure data parallelism on
+      multi-device meshes): each device runs the LOCAL step — synthesizing
+      exactly its batch shard, Pallas kernel included — and gradients pmean
+      over ICI. This is the scalable path (SURVEY.md §5).
+    """
     n_bins = model.spec.ft_size // 2 + 1
     scale = loss_mod.freq_scale(n_bins)
+    if use_shard_map is None:
+        use_shard_map = (
+            mesh is not None
+            and mesh.shape["data"] > 1
+            and mesh.shape.get("model", 1) == 1
+        )
+
+    def loss_fn(p, x, y, knobs):
+        y_hat, _, mag_hat = model.module.apply(p, x, knobs)
+        return loss_mod.calc_loss(y_hat, y, mag_hat, scale_by_freq=scale)
+
+    if use_shard_map:
+        from jax.sharding import PartitionSpec as P
+
+        n_data = mesh.shape["data"]
+        assert batch_size % n_data == 0, (batch_size, n_data)
+        local_batch = batch_size // n_data
+
+        def local_step(params, opt_state, step, base_key):
+            shard = jax.lax.axis_index("data")
+            key = jax.random.fold_in(jax.random.fold_in(base_key, step), shard)
+            keys = jax.random.split(key, local_batch)
+            x, y, knobs = batch_fn(keys)
+            l, grads = jax.value_and_grad(loss_fn)(params, x, y, knobs)
+            l = jax.lax.pmean(l, "data")
+            grads = jax.lax.pmean(grads, "data")
+            grads = clip_frontend_grads(grads, clip_max_norm)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, l
+
+        step_fn = jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(step_fn, donate_argnums=(0, 1))
+
     dsh = meshlib.data_sharding(mesh) if mesh is not None else None
 
     def step_fn(params, opt_state, step, base_key):
@@ -76,18 +128,52 @@ def make_train_step(model: STModel, tx, batch_fn, batch_size, mesh=None,
             x, y, knobs = (
                 jax.lax.with_sharding_constraint(a, dsh) for a in (x, y, knobs)
             )
-
-        def loss_fn(p):
-            y_hat, _, mag_hat = model.module.apply(p, x, knobs)
-            return loss_mod.calc_loss(y_hat, y, mag_hat, scale_by_freq=scale)
-
-        l, grads = jax.value_and_grad(loss_fn)(params)
+        l, grads = jax.value_and_grad(loss_fn)(params, x, y, knobs)
         grads = clip_frontend_grads(grads, clip_max_norm)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, l
 
     return jax.jit(step_fn, donate_argnums=(0, 1))
+
+
+def make_train_multi_step(model: STModel, tx, batch_fn, batch_size,
+                          n_inner: int, mesh=None, clip_max_norm: float = 1.0):
+    """n_inner fused train steps per device call (lax.scan over the step
+    body). Host dispatch in this environment rides a network relay with
+    multi-ms jitter; batching steps on device amortizes it away and is the
+    natural XLA formulation of the inner loop. Returns
+    fn(params, opt_state, step0, key) -> (params, opt_state, losses[n_inner]).
+    """
+    n_bins = model.spec.ft_size // 2 + 1
+    scale = loss_mod.freq_scale(n_bins)
+    dsh = meshlib.data_sharding(mesh) if mesh is not None else None
+
+    def loss_fn(p, x, y, knobs):
+        y_hat, _, mag_hat = model.module.apply(p, x, knobs)
+        return loss_mod.calc_loss(y_hat, y, mag_hat, scale_by_freq=scale)
+
+    def multi_step(params, opt_state, step0, base_key):
+        def body(carry, i):
+            params, opt_state = carry
+            keys = synth_data.batch_keys(base_key, step0 + i, batch_size)
+            x, y, knobs = batch_fn(keys)
+            if dsh is not None:
+                x, y, knobs = (
+                    jax.lax.with_sharding_constraint(a, dsh) for a in (x, y, knobs)
+                )
+            l, grads = jax.value_and_grad(loss_fn)(params, x, y, knobs)
+            grads = clip_frontend_grads(grads, clip_max_norm)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), l
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), jnp.arange(n_inner)
+        )
+        return params, opt_state, losses
+
+    return jax.jit(multi_step, donate_argnums=(0, 1))
 
 
 def make_train_step_from_arrays(model: STModel, tx, mesh=None,
@@ -251,18 +337,32 @@ def train(
             batch_fn = train_ds.batch_fn
             val_batch_fn = val_ds.batch_fn
 
+    steps_per_epoch = max(1, n_data_points // batch_size)
     if host_data:
         train_step_arr = make_train_step_from_arrays(model, tx, mesh=mesh)
         eval_step_arr = make_eval_step_from_arrays(model, mesh=mesh)
         host_rng = np.random.default_rng(seed)
         val_rng_factory = lambda: np.random.default_rng(7)  # frozen val stream
+        n_inner = 1
     else:
-        train_step = make_train_step(model, tx, batch_fn, batch_size, mesh=mesh)
+        # Fuse status_every steps per device call when it tiles the epoch and
+        # the single-chip GSPMD path applies (multi-device DP goes through
+        # shard_map single steps).
+        dp_devices = mesh.shape["data"] if mesh is not None else 1
+        fuse = (steps_per_epoch % status_every == 0) and (
+            dp_devices == 1 or n_model > 1
+        )
+        n_inner = status_every if fuse else 1
+        if n_inner > 1:
+            multi_step = make_train_multi_step(
+                model, tx, batch_fn, batch_size, n_inner, mesh=mesh
+            )
+        else:
+            train_step = make_train_step(model, tx, batch_fn, batch_size, mesh=mesh)
         eval_step = make_eval_step(model, val_batch_fn, batch_size, mesh=mesh)
 
     logfilename = "vl_avg_out.dat"
     base_key = jax.random.PRNGKey(seed)
-    steps_per_epoch = max(1, n_data_points // batch_size)
     val_steps = max(1, (n_data_points // 4) // batch_size)
 
     iter_count, batch_num = step0, 0
@@ -273,17 +373,22 @@ def train(
     for epoch in range(epochs):
         print("")
         data_point = 0
-        for _ in range(steps_per_epoch):
+        for _ in range(steps_per_epoch // n_inner):
             if host_data:
                 xb, yb, kb = train_ds.host_batch(batch_size, host_rng)
                 params, opt_state, l = train_step_arr(params, opt_state, xb, yb, kb)
+            elif n_inner > 1:
+                params, opt_state, losses = multi_step(
+                    params, opt_state, jnp.asarray(iter_count), base_key
+                )
+                l = losses[-1]
             else:
                 params, opt_state, l = train_step(
                     params, opt_state, jnp.asarray(iter_count), base_key
                 )
-            data_point += batch_size
-            batch_num += 1
-            iter_count += 1
+            data_point += batch_size * n_inner
+            batch_num += n_inner
+            iter_count += n_inner
             if 0 == batch_num % status_every:
                 lr = float(lr_fn(iter_count - 1))
                 mom = float(mom_fn(iter_count - 1))

@@ -1,0 +1,112 @@
+"""Every registered effect must run inside the fused train step (the
+on-device data path), and the shard_map DP path must agree with GSPMD."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from signaltrain_tpu.data import synth_data
+from signaltrain_tpu.dsp import effects
+from signaltrain_tpu.models.st_model import ModelSpec, STModel
+from signaltrain_tpu.parallel import mesh as meshlib
+from signaltrain_tpu.training import train as trainlib
+
+TINY = ModelSpec(
+    scale_factor=512 / 8192.0, shrink_factor=4.0, num_knobs=1, sr=44100,
+    in_chunk_size=512, out_chunk_size=128, ft_size=64, hop_size=24,
+    time_frames=25, output_time_frames=9,
+)
+
+
+def _tiny_model(num_knobs):
+    spec = ModelSpec(**{**TINY.__dict__, "num_knobs": num_knobs})
+    return STModel(spec)
+
+
+@pytest.mark.parametrize(
+    "name", ["comp_4c", "comp", "comp_t", "comp_large", "comp_one",
+             "denoise", "lowpass", "echo", "decomp_4c"]
+)
+def test_effect_in_fused_train_step(name):
+    effect = effects.make_effect(name)
+    model = _tiny_model(effect.num_knobs)
+    params = model.init(jax.random.PRNGKey(0))
+    tx, _ = trainlib.make_optimizer(1e-4, 256, 1, 8)
+    opt_state = tx.init(params)
+    batch_fn = synth_data.make_synth_batch_fn(
+        effect, TINY.in_chunk_size, TINY.out_chunk_size
+    )
+    step = trainlib.make_train_step(model, tx, batch_fn, 8)
+    params, opt_state, loss = step(params, opt_state, jnp.asarray(0),
+                                   jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss)), name
+
+
+def test_shard_map_step_runs_on_device_mesh():
+    effect = effects.make_effect("comp_4c")
+    model = _tiny_model(4)
+    mesh = meshlib.make_mesh(n_data=len(jax.devices()), n_model=1)
+    params = jax.device_put(model.init(jax.random.PRNGKey(0)),
+                            meshlib.replicated(mesh))
+    tx, _ = trainlib.make_optimizer(1e-4, 256, 1, 16)
+    opt_state = tx.init(params)
+    batch_fn = synth_data.make_synth_batch_fn(
+        effect, TINY.in_chunk_size, TINY.out_chunk_size
+    )
+    step = trainlib.make_train_step(
+        model, tx, batch_fn, 16, mesh=mesh, use_shard_map=True
+    )
+    params, opt_state, loss = step(params, opt_state, jnp.asarray(0),
+                                   jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+
+
+def test_compand_file_path(tmp_path):
+    """mu-law companding through the file dataset (-c flag path)."""
+    import os
+
+    from signaltrain_tpu.data import audio_io, file_data
+
+    rs = np.random.RandomState(0)
+    os.makedirs(tmp_path / "Train", exist_ok=True)
+    for i in range(3):
+        x = (rs.randn(2000) * 0.3).astype(np.float32)
+        y = (x * 0.5).astype(np.float32)
+        audio_io.write_audio_file(str(tmp_path / "Train" / f"input_{i}_.wav"), x)
+        audio_io.write_audio_file(
+            str(tmp_path / "Train" / f"target_{i}_Fx__-15.0.wav"), y
+        )
+    e = effects.Comp_Just_Thresh()
+    ds = file_data.FileDataset(
+        str(tmp_path / "Train"), e, chunk_size=512, y_size=128, compand=True
+    )
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    x, y, knobs = ds.batch_fn(keys)
+    # companding boosts small amplitudes: mean|x| should exceed the raw scale
+    assert float(jnp.mean(jnp.abs(x))) > 0.2
+    # thresh=-15 in range [-50,-10]: (-15+50)/40 - 0.5 = 0.375
+    np.testing.assert_allclose(np.asarray(knobs)[:, 0], 0.375, atol=1e-5)
+
+
+def test_attack_release_time_constants():
+    """Step response: the gain envelope reaches ~1-1/9 of its final change
+    within attack_time (alpha = exp(-ln9 / (sr*T)) puts the 10%-90% rise at
+    T seconds; audio.py:399-400)."""
+    from signaltrain_tpu.dsp import compressors
+
+    sr = 44100.0
+    att = 0.01
+    x = np.concatenate([np.full(1000, 1e-4), np.full(8000, 0.9)]).astype(np.float32)
+    y = np.asarray(
+        compressors.compressor_4controls(
+            jnp.asarray(x), thresh=-20.0, ratio=4.0,
+            attack_time=att, release_time=att, sr=sr,
+        )
+    )
+    gain = y[1000:] / 0.9
+    final = gain[-1]
+    # 90% of the gain change should have happened by ~attack_time
+    idx90 = np.argmax(gain <= final + 0.1 * (gain[0] - final))
+    t90 = idx90 / sr
+    assert 0.3 * att < t90 < 2.0 * att, t90
