@@ -79,6 +79,24 @@ def main():
     audio_sec_per_step = BATCH * spec.out_chunk_size / spec.sr
     value = audio_sec_per_step / dt / n_chips
 
+    # streaming long-audio inference throughput (predict_long, the second
+    # half of the BASELINE metric): 60 s of audio through the chunked graph
+    from signaltrain_tpu.inference import predict_long as pl
+
+    import numpy as np
+
+    sig_len = 60 * spec.sr
+    t = np.arange(sig_len, dtype=np.float32) / spec.sr
+    sig = (0.4 * np.sin(2 * np.pi * 220.0 * t)).astype(np.float32)
+    knobs = np.zeros(spec.num_knobs, np.float32)
+    y = pl.predict_long(sig, knobs, model, params)  # compile
+    t0 = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        y = pl.predict_long(sig, knobs, model, params)
+    dt_inf = (time.perf_counter() - t0) / reps
+    infer_value = (sig_len / spec.sr) / dt_inf / n_chips
+
     print(
         json.dumps(
             {
@@ -88,6 +106,7 @@ def main():
                 "vs_baseline": round(value / BASELINE_AUDIO_SEC_PER_SEC, 3),
                 "step_ms": round(dt * 1e3, 2),
                 "final_loss": float(loss),
+                "predict_long_audio_sec_per_sec": round(infer_value, 1),
             }
         )
     )

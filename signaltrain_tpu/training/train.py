@@ -237,6 +237,48 @@ def make_eval_step(model: STModel, val_batch_fn, batch_size, val_seed: int = 7,
     return jax.jit(eval_fn)
 
 
+def make_eval_scan(model: STModel, val_batch_fn, batch_size, n_val_steps: int,
+                   val_seed: int = 7, mesh=None):
+    """The WHOLE validation pass as one device call: lax.scan over the
+    (recycled) val batches, returning per-batch losses, the last batch's MAE
+    and the last batch's tensors for plotting — one host round-trip instead
+    of n_val_steps (each costs a relay RTT here)."""
+    n_bins = model.spec.ft_size // 2 + 1
+    scale = loss_mod.freq_scale(n_bins)
+    dsh = meshlib.data_sharding(mesh) if mesh is not None else None
+
+    spec = model.spec
+
+    def eval_all(params):
+        def body(carry, step):
+            keys = synth_data.val_step_keys(val_seed, step, batch_size)
+            x, y, knobs = val_batch_fn(keys)
+            if dsh is not None:
+                x, y, knobs = (
+                    jax.lax.with_sharding_constraint(a, dsh) for a in (x, y, knobs)
+                )
+            y_hat, mag, mag_hat = model.module.apply(params, x, knobs)
+            l = loss_mod.calc_loss(y_hat, y, mag_hat, scale_by_freq=scale)
+            mae = loss_mod.mae(y.astype(jnp.float32), y_hat.astype(jnp.float32))
+            # carry (not stack) the batch tensors: only the LAST batch is
+            # reported/plotted, and stacking would hold every val batch live
+            return (x, y, knobs, y_hat, mag, mag_hat), (l, mae)
+
+        half = spec.ft_size // 2 + 1
+        init = (
+            jnp.zeros((batch_size, spec.in_chunk_size)),
+            jnp.zeros((batch_size, spec.out_chunk_size)),
+            jnp.zeros((batch_size, spec.num_knobs)),
+            jnp.zeros((batch_size, spec.out_chunk_size)),
+            jnp.zeros((batch_size, spec.time_frames, half)),
+            jnp.zeros((batch_size, spec.output_time_frames, half)),
+        )
+        last, (losses, maes) = jax.lax.scan(body, init, jnp.arange(n_val_steps))
+        return losses, maes[-1], last
+
+    return jax.jit(eval_all)
+
+
 def train(
     effect,
     epochs: int = 100,
@@ -359,7 +401,10 @@ def train(
             )
         else:
             train_step = make_train_step(model, tx, batch_fn, batch_size, mesh=mesh)
-        eval_step = make_eval_step(model, val_batch_fn, batch_size, mesh=mesh)
+        eval_scan = make_eval_scan(
+            model, val_batch_fn, batch_size,
+            max(1, (n_data_points // 4) // batch_size), mesh=mesh,
+        )
 
     logfilename = "vl_avg_out.dat"
     base_key = jax.random.PRNGKey(seed)
@@ -368,6 +413,7 @@ def train(
     iter_count, batch_num = step0, 0
     avg_loss, vl_avg, beta = 0.0, 0.0, 0.98
     smoothed_loss = 0.0
+    pending_loss = None
     first_time = time.time()
 
     for epoch in range(epochs):
@@ -390,17 +436,25 @@ def train(
             batch_num += n_inner
             iter_count += n_inner
             if 0 == batch_num % status_every:
-                lr = float(lr_fn(iter_count - 1))
-                mom = float(mom_fn(iter_count - 1))
-                avg_loss = beta * avg_loss + (1 - beta) * float(l)
-                smoothed_loss = avg_loss / (1 - beta**batch_num)
-                timediff = time.time() - first_time
-                print(
-                    f"\repoch {epoch + 1}/{epochs}, time: {timediff:.2f}: "
-                    f"lr={lr:.2e},mom={mom:.3f}, data_point {data_point}: "
-                    f"loss: {smoothed_loss:.3e}   ",
-                    end="",
-                )
+                # One-call-deep pipeline on the loss fetch: float() of THIS
+                # call's loss would stall on the device round-trip (the relay
+                # RTT dominates); the previous call's value has already
+                # landed, so report it instead (content lags status_every
+                # batches; identical information).
+                l_now = l
+                if pending_loss is not None:
+                    lr = float(lr_fn(iter_count - 1))
+                    mom = float(mom_fn(iter_count - 1))
+                    avg_loss = beta * avg_loss + (1 - beta) * float(pending_loss)
+                    smoothed_loss = avg_loss / (1 - beta**batch_num)
+                    timediff = time.time() - first_time
+                    print(
+                        f"\repoch {epoch + 1}/{epochs}, time: {timediff:.2f}: "
+                        f"lr={lr:.2e},mom={mom:.3f}, data_point {data_point}: "
+                        f"loss: {smoothed_loss:.3e}   ",
+                        end="",
+                    )
+                pending_loss = l_now
 
         # ---- eval / status / save (train.py:28-80)
         last = None
@@ -411,9 +465,12 @@ def train(
                 loss_val, val_mae, last = eval_step_arr(params, xb, yb, kb)
                 vl_avg = beta * vl_avg + (1 - beta) * float(loss_val)
         else:
-            for v in range(val_steps):
-                loss_val, val_mae, last = eval_step(params, jnp.asarray(v))
-                vl_avg = beta * vl_avg + (1 - beta) * float(loss_val)
+            # whole val pass in one device call; EMA applied to the losses
+            # vector on host (identical arithmetic, 1 round-trip)
+            losses_val, val_mae, last = eval_scan(params)
+            for lv in np.asarray(losses_val):
+                vl_avg = beta * vl_avg + (1 - beta) * float(lv)
+            loss_val = losses_val[-1]
 
         with open(logfilename, "a") as f:
             f.write(f"{epoch + 1} {vl_avg:.3e}\n")
