@@ -97,6 +97,10 @@ def main():
         print(f"Error: no input files under {args.path}/Train and {args.path}/Val")
         sys.exit(1)
 
+    from signaltrain_tpu import __version__
+    from signaltrain_tpu.utils.banner import print_choochoo
+
+    print_choochoo(__version__)  # ascii art is the hallmark of professionalism
     print("Running with args =", args)
     enable_compilation_cache()
 

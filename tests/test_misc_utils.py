@@ -1,0 +1,74 @@
+"""Misc coverage: plots produce files, training is bit-reproducible from a
+seed (an improvement over the reference, whose worker_init explicitly breaks
+reproducibility, datasets.py:54-61), banner prints."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from signaltrain_tpu.data import synth_data
+from signaltrain_tpu.dsp import effects
+from signaltrain_tpu.models.st_model import ModelSpec, STModel
+from signaltrain_tpu.training import train as trainlib
+from signaltrain_tpu.utils import plots
+from signaltrain_tpu.utils.banner import print_choochoo
+
+TINY = ModelSpec(
+    scale_factor=512 / 8192.0, shrink_factor=4.0, num_knobs=4, sr=44100,
+    in_chunk_size=512, out_chunk_size=128, ft_size=64, hop_size=24,
+    time_frames=25, output_time_frames=9,
+)
+
+
+def test_plots_write_files(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    effect = effects.Compressor_4c()
+    rs = np.random.RandomState(0)
+    x = rs.randn(4, 512).astype(np.float32)
+    y = rs.randn(4, 128).astype(np.float32)
+    yh = rs.randn(4, 128).astype(np.float32)
+    knobs = (rs.rand(4, 4) - 0.5).astype(np.float32)
+    plots.plot_valdata(x, knobs, y, yh, effect, epoch=0, loss_val=1e-3,
+                       num_plots=2, target_size=128)
+    assert os.path.exists("val_data_0.png") and os.path.exists("val_data_1.png")
+
+    model = STModel(TINY)
+    params = jax.device_get(model.init(jax.random.PRNGKey(0)))
+    mag = np.abs(rs.randn(2, 25, 33)).astype(np.float32)
+    mag_hat = np.abs(rs.randn(2, 9, 33)).astype(np.float32)
+    plots.plot_spectrograms(params, mag, mag_hat)
+    for f in ("mag.png", "mag_hat.png", "conv_anal_real.png", "conv_anal_imag.png",
+              "conv_synth_real.png", "conv_synth_imag.png"):
+        assert os.path.exists(f), f
+
+
+def test_training_is_deterministic():
+    effect = effects.Compressor_4c()
+
+    def run():
+        model = STModel(TINY)
+        params = model.init(jax.random.PRNGKey(0))
+        tx, _ = trainlib.make_optimizer(1e-4, 64, 1, 8)
+        opt_state = tx.init(params)
+        batch_fn = synth_data.make_synth_batch_fn(
+            effect, TINY.in_chunk_size, TINY.out_chunk_size
+        )
+        step = trainlib.make_train_step(model, tx, batch_fn, 8)
+        for i in range(3):
+            params, opt_state, loss = step(params, opt_state, jnp.asarray(i),
+                                           jax.random.PRNGKey(42))
+        return jax.device_get(params), float(loss)
+
+    p1, l1 = run()
+    p2, l2 = run()
+    assert l1 == l2
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_banner(capsys):
+    print_choochoo("9.9.9")
+    out = capsys.readouterr().out
+    assert "signaltrain-tpu 9.9.9" in out
