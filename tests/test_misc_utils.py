@@ -72,3 +72,26 @@ def test_banner(capsys):
     print_choochoo("9.9.9")
     out = capsys.readouterr().out
     assert "signaltrain-tpu 9.9.9" in out
+
+
+def test_readaudio_generator(tmp_path):
+    from signaltrain_tpu.data import audio_io
+
+    rs = np.random.RandomState(0)
+    for i in range(2):
+        audio_io.write_audio_file(
+            str(tmp_path / f"clip{i}.wav"), rs.randn(5000).astype(np.float32)
+        )
+    gen = audio_io.readaudio_generator(1000, path=str(tmp_path) + "/", sr=44100)
+    a = next(gen)
+    assert a.shape == (1000,)
+    b = gen.send(True)  # switch files
+    assert b.shape == (1000,)
+
+
+def test_resample_halves_length(tmp_path):
+    from signaltrain_tpu.data import audio_io
+
+    x = np.sin(np.arange(44100) / 10).astype(np.float32)
+    y = audio_io.resample(x, 44100, 22050)
+    assert abs(len(y) - 22050) <= 1
