@@ -44,12 +44,15 @@ def make_synth_batch_fn(
         knobs = synths.random_ends(kk, (nk,)) - 0.5
         return knobs, ke, ka
 
-    def gen_batch(keys):
+    def gen_batch(keys, invariants=None):
         # Inputs come from the stratified per-branch generator (each synth
         # branch computes only its share of the batch); the effect runs
         # natively batched so the Pallas envelope kernel sees (B, N) at once.
+        # `invariants` optionally carries the pinknoise cosine table computed
+        # once OUTSIDE a multi-step scan (see make_invariants below).
         b = keys.shape[0]
-        xs = synths.stratified_synth_batch(keys[0], t, choosers, b)
+        xs = synths.stratified_synth_batch(keys[0], t, choosers, b,
+                                           cos_mat=invariants)
         knobs, eff_keys, aug_keys = jax.vmap(gen_aux)(keys)
         y, x = effect.go_batch(xs, knobs, keys=eff_keys)
         y = y[:, -y_size:]
@@ -64,6 +67,9 @@ def make_synth_batch_fn(
             knobs.astype(jnp.float32),
         )
 
+    # loop-invariant precompute hook: callers that scan many steps in one
+    # device program build the cosine table once and pass it per step
+    gen_batch.make_invariants = lambda: synths._irfft_cos_matrix(chunk_size)
     return gen_batch
 
 

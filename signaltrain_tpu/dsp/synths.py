@@ -18,7 +18,6 @@ location arithmetic truncates toward zero).
 
 from __future__ import annotations
 
-import functools
 from typing import Sequence
 
 import jax
@@ -52,10 +51,9 @@ def normish(key, y, amp_range=(0.6, 0.9)):
     return y / jnp.max(jnp.abs(y)) * amp
 
 
-@functools.lru_cache(maxsize=8)
 def _irfft_cos_matrix(n: int):
-    """Half-spectrum inverse-rFFT cosine matrix, (n//2+1, n//2+1), as a
-    DEVICE-RESIDENT array.
+    """Half-spectrum inverse-rFFT cosine matrix, (n//2+1, n//2+1), computed
+    IN-GRAPH.
 
     This TPU backend implements no FFT, so the reference's
     np.fft.irfft(real_spectrum) (audio.py:93) becomes one MXU GEMM:
@@ -64,26 +62,30 @@ def _irfft_cos_matrix(n: int):
     The output of an irfft of a REAL spectrum is even-symmetric, so only
     m = 0..n/2 is computed and the rest is mirrored — half the FLOPs.
 
-    Caching the jnp array (not numpy) matters twice over: every pinknoise
-    call site closes over the SAME buffer (one hidden executable argument,
-    not per-site HLO constants), and building it with jnp computes the 67 MB
-    table ON DEVICE instead of shipping it host->device (this environment
-    tunnels TPU traffic through a slow relay).
+    The table is recomputed on device per call (cheap VPU work, ~0.1 ms at
+    the flagship size) instead of being captured as a constant: an HLO
+    constant of this size (67 MB at chunk 8192, 268 MB at --scale 2) blows
+    past the remote compiler's request limit in this environment and bloats
+    every executable. XLA CSEs the duplicate subgraphs across call sites.
+
+    The modular reduction (k*m mod n) runs in int32 with a split-product so
+    the cos argument stays exact for n beyond 2^12 (k*m overflows the f32
+    integer range at n >= 8192; the split keeps every intermediate < 2^31
+    for n up to ~2^23).
     """
     nf = n // 2 + 1
-    # ensure_compile_time_eval: the first call may happen inside a jit trace
-    # (lru_cache would otherwise capture a tracer); this evaluates eagerly on
-    # device regardless.
-    with jax.ensure_compile_time_eval():
-        k = jnp.arange(nf, dtype=jnp.float32)[:, None]
-        m = jnp.arange(nf, dtype=jnp.float32)[None, :]
-        mat = 2.0 * jnp.cos(2.0 * jnp.pi / n * (k * m % n)) / n
-        mat = mat.at[0, :].mul(0.5)
-        mat = mat.at[-1, :].mul(0.5)
-    return jax.block_until_ready(mat)
+    k = jnp.arange(nf, dtype=jnp.int32)[:, None]
+    m = jnp.arange(nf, dtype=jnp.int32)[None, :]
+    m_hi, m_lo = m // 256, m % 256
+    t1 = (k * m_hi) % n
+    prod_mod = (t1 * 256 + k * m_lo) % n
+    mat = 2.0 * jnp.cos(2.0 * jnp.pi / n * prod_mod.astype(jnp.float32)) / n
+    mat = mat.at[0, :].mul(0.5)
+    mat = mat.at[-1, :].mul(0.5)
+    return mat
 
 
-def pinknoise(key, n: int, precision=None):
+def pinknoise(key, n: int, precision=None, cos_mat=None):
     """1/f noise: inverse rFFT of a 1/sqrt(f)-shaped uniform spectrum
     (audio.py:85-94), via cosine GEMM (no FFT on TPU). n must be even.
 
@@ -94,7 +96,7 @@ def pinknoise(key, n: int, precision=None):
     s = jnp.sqrt(jnp.arange(n_f) + 1.0)
     y_half = jnp.dot(
         noise / s,
-        _irfft_cos_matrix(n),
+        cos_mat if cos_mat is not None else _irfft_cos_matrix(n),
         precision=precision,
         preferred_element_type=jnp.float32,
     )
@@ -213,7 +215,7 @@ def spikes(key, t, n_spikes: int = 50):
     return x + amp_n * jax.random.normal(k_noise, (n,))
 
 
-def triangle(key, t, t0_fac=None):
+def triangle(key, t, t0_fac=None, cos_mat=None):
     """Ramp up then down, plus pink noise (audio.py:188-196)."""
     k_h, k_s, k_w, k_t, k_a, k_p = jax.random.split(key, 6)
     height = (0.4 * _u(k_h) + 0.4) * jnp.sign(jax.random.rademacher(k_s, ()))
@@ -222,10 +224,10 @@ def triangle(key, t, t0_fac=None):
     x = height * (1.0 - jnp.abs(t - t0) / width)
     x = jnp.where((t < t0 - width) | (t > t0 + width), 0.0, x)
     amp_n = 0.1 * _u(k_a) + 0.02
-    return x + amp_n * pinknoise(k_p, t.shape[0])
+    return x + amp_n * pinknoise(k_p, t.shape[0], cos_mat=cos_mat)
 
 
-def _branch_fn(chooser: int, t, t0_fac=None):
+def _branch_fn(chooser: int, t, t0_fac=None, cos_mat=None):
     """The body of synth branch `chooser` (audio.py:303-331) as f(key) -> (N,).
 
     Shared by the traced-chooser switch (synth_input_sample) and the
@@ -241,7 +243,7 @@ def _branch_fn(chooser: int, t, t0_fac=None):
         k1, k2, k3, k4, k5 = jax.random.split(k, 5)
         return (
             randsine(k1, t, t0_fac=t0_fac)
-            + 0.2 * _u(k2) * pinknoise(k3, n)
+            + 0.2 * _u(k2) * pinknoise(k3, n, cos_mat=cos_mat)
             + 0.2 * _u(k4) * (2.0 * _u(k5, (n,)) - 1.0)
         )
 
@@ -249,7 +251,7 @@ def _branch_fn(chooser: int, t, t0_fac=None):
         return pluck(k, t, t0_fac=t0_fac)
 
     def c3(k):
-        return triangle(k, t, t0_fac=t0_fac)
+        return triangle(k, t, t0_fac=t0_fac, cos_mat=cos_mat)
 
     def c4(k):
         return box(k, t, t0_fac=t0_fac)
@@ -264,7 +266,7 @@ def _branch_fn(chooser: int, t, t0_fac=None):
     def c7(k):
         k1, k2, k3 = jax.random.split(k, 3)
         amp_n = 0.3 * _u(k2) + 0.1
-        return pluck(k1, t, t0_fac=t0_fac) + amp_n * pinknoise(k3, n)
+        return pluck(k1, t, t0_fac=t0_fac) + amp_n * pinknoise(k3, n, cos_mat=cos_mat)
 
     def c8(k):
         return ampexpstepup(k, t, start_db=-30.0)
@@ -281,13 +283,13 @@ def _branch_fn(chooser: int, t, t0_fac=None):
         return (
             box(k1, t)
             + 0.2 * _u(k2) * (2.0 * _u(k3, (n,)) - 1.0)
-            + 0.2 * _u(k4) * pinknoise(k5, n)
+            + 0.2 * _u(k4) * pinknoise(k5, n, cos_mat=cos_mat)
         )
 
     def c11(k):
         k1, k2 = jax.random.split(k)
         amp_n = 0.6 * _u(k1) + 0.2
-        return amp_n * pinknoise(k2, n)
+        return amp_n * pinknoise(k2, n, cos_mat=cos_mat)
 
     return [c0, c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11][chooser]
 
@@ -299,7 +301,7 @@ def _finish(key, y, n):
     return y * sign + _u(k_eps, (n,)) * 1e-8
 
 
-def synth_input_sample(key, t, chooser, t0_fac=None, branch_set=None):
+def synth_input_sample(key, t, chooser, t0_fac=None, branch_set=None, cos_mat=None):
     """12-way synthetic input chooser (audio.py:296-334).
 
     chooser may be a traced int (lax.switch over equal-shape branches) so the
@@ -311,12 +313,13 @@ def synth_input_sample(key, t, chooser, t0_fac=None, branch_set=None):
     k_branch, k_finish = jax.random.split(key)
     n = t.shape[0]
     ids = tuple(range(12)) if branch_set is None else tuple(branch_set)
-    branches = [_branch_fn(c, t, t0_fac) for c in ids]
+    branches = [_branch_fn(c, t, t0_fac, cos_mat=cos_mat) for c in ids]
     y = jax.lax.switch(jnp.asarray(chooser, jnp.int32), branches, k_branch)
     return _finish(k_finish, y, n)
 
 
-def stratified_synth_batch(key, t, choosers=DEFAULT_CHOOSERS, batch: int = 1):
+def stratified_synth_batch(key, t, choosers=DEFAULT_CHOOSERS, batch: int = 1,
+                           cos_mat=None):
     """Synthesize a batch with EXACTLY-even chooser coverage, one vmap per
     branch — each branch computes only its share of the batch (~6x cheaper
     than vmapping a 6-way switch, which evaluates every branch for every
@@ -332,7 +335,7 @@ def stratified_synth_batch(key, t, choosers=DEFAULT_CHOOSERS, batch: int = 1):
     for c, cnt in zip(choosers, counts):
         if cnt == 0:
             continue
-        fn = _branch_fn(c, t)
+        fn = _branch_fn(c, t, cos_mat=cos_mat)
         sub = keys[start : start + cnt]
         ys = jax.vmap(lambda k: _finish(
             jax.random.split(k)[1], fn(jax.random.split(k)[0]), t.shape[0]

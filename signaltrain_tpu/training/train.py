@@ -153,11 +153,15 @@ def make_train_multi_step(model: STModel, tx, batch_fn, batch_size,
         y_hat, _, mag_hat = model.module.apply(p, x, knobs)
         return loss_mod.calc_loss(y_hat, y, mag_hat, scale_by_freq=scale)
 
+    inv_fn = getattr(batch_fn, "make_invariants", None)
+
     def multi_step(params, opt_state, step0, base_key):
+        inv = inv_fn() if inv_fn is not None else None
+
         def body(carry, i):
             params, opt_state = carry
             keys = synth_data.batch_keys(base_key, step0 + i, batch_size)
-            x, y, knobs = batch_fn(keys)
+            x, y, knobs = batch_fn(keys, inv) if inv is not None else batch_fn(keys)
             if dsh is not None:
                 x, y, knobs = (
                     jax.lax.with_sharding_constraint(a, dsh) for a in (x, y, knobs)
@@ -248,11 +252,16 @@ def make_eval_scan(model: STModel, val_batch_fn, batch_size, n_val_steps: int,
     dsh = meshlib.data_sharding(mesh) if mesh is not None else None
 
     spec = model.spec
+    inv_fn = getattr(val_batch_fn, "make_invariants", None)
 
     def eval_all(params):
+        inv = inv_fn() if inv_fn is not None else None
+
         def body(carry, step):
             keys = synth_data.val_step_keys(val_seed, step, batch_size)
-            x, y, knobs = val_batch_fn(keys)
+            x, y, knobs = (
+                val_batch_fn(keys, inv) if inv is not None else val_batch_fn(keys)
+            )
             if dsh is not None:
                 x, y, knobs = (
                     jax.lax.with_sharding_constraint(a, dsh) for a in (x, y, knobs)
