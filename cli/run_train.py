@@ -68,6 +68,10 @@ def main():
         help="model-axis size for front-end tensor parallelism",
     )
     parser.add_argument("--seed", type=int, default=218)
+    parser.add_argument(
+        "--profile", default=None, metavar="DIR",
+        help="capture a jax profiler trace of the run into DIR",
+    )
     args = parser.parse_args()
 
     print("Command line: ", " ".join(sys.argv[:]))
@@ -105,23 +109,30 @@ def main():
     enable_compilation_cache()
 
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[args.dtype]
-    trainlib.train(
-        effect,
-        epochs=args.epochs,
-        n_data_points=args.num,
-        batch_size=args.batch,
-        sr=args.sr,
-        datapath=args.path,
-        scale_factor=args.scale,
-        shrink_factor=args.shrink,
-        target_type=args.target,
-        lr_max=args.lrmax,
-        in_checkpointname=args.checkpoint,
-        compand=args.compand,
-        compute_dtype=dtype,
-        seed=args.seed,
-        n_model=args.nmodel,
-    )
+
+    import contextlib
+
+    from signaltrain_tpu.utils import profiling
+
+    ctx = profiling.trace(args.profile) if args.profile else contextlib.nullcontext()
+    with ctx:
+        trainlib.train(
+            effect,
+            epochs=args.epochs,
+            n_data_points=args.num,
+            batch_size=args.batch,
+            sr=args.sr,
+            datapath=args.path,
+            scale_factor=args.scale,
+            shrink_factor=args.shrink,
+            target_type=args.target,
+            lr_max=args.lrmax,
+            in_checkpointname=args.checkpoint,
+            compand=args.compand,
+            compute_dtype=dtype,
+            seed=args.seed,
+            n_model=args.nmodel,
+        )
     print("run_train.py: Execution completed.")
 
 

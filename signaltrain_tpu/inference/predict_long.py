@@ -31,10 +31,14 @@ def predict_long(
     sr: int = 44100,
     batch_size: int = 200,
     compand: bool = False,
+    mesh=None,
 ):
     """Process an arbitrarily long 1-D signal; returns the prediction,
     length len(signal) - lookback_head (exactly the reference's output
-    alignment: caller zero-pads the head, predict_long.py:221-223)."""
+    alignment: caller zero-pads the head, predict_long.py:221-223).
+
+    With a mesh, each forward batch is sharded over the 'data' axis — the
+    window axis is this workload's sequence parallelism (SURVEY.md §5)."""
     chunk_size = chunk_size or model.spec.in_chunk_size
     out_chunk_size = out_chunk_size or model.spec.out_chunk_size
     signal = jnp.asarray(signal, jnp.float32)
@@ -42,9 +46,12 @@ def predict_long(
 
     overlap = chunk_size - out_chunk_size
     n_windows = _num_windows(int(signal.shape[-1]), chunk_size, overlap)
+    if mesh is not None:  # batch must tile the data axis
+        n_data = mesh.shape["data"]
+        batch_size = max(n_data, batch_size - batch_size % n_data)
     y = _predict_windows(
         model, params, signal, knobs, chunk_size, out_chunk_size, overlap,
-        n_windows, batch_size, compand,
+        n_windows, batch_size, compand, mesh,
     )
     # windows may have been zero-padded at the tail; trim the extras
     unique = chunk_size + (n_windows - 1) * out_chunk_size
@@ -63,17 +70,20 @@ def _num_windows(length: int, size: int, overlap: int) -> int:
     jax.jit,
     static_argnames=(
         "model", "chunk_size", "out_chunk_size", "overlap", "n_windows",
-        "batch_size", "compand",
+        "batch_size", "compand", "mesh",
     ),
 )
 def _predict_windows(
     model, params, signal, knobs, chunk_size, out_chunk_size, overlap,
-    n_windows, batch_size, compand,
+    n_windows, batch_size, compand, mesh=None,
 ):
     x = framing.sliding_window(signal, chunk_size, overlap=overlap)
     if compand:
         x = mu_compand(x)
     bs = min(batch_size, n_windows)
+    if mesh is not None:
+        n_data = mesh.shape["data"]
+        bs = max(n_data, bs - bs % n_data)
     n_batches = -(-n_windows // bs)
     pad = n_batches * bs - n_windows
     if pad:
@@ -82,6 +92,10 @@ def _predict_windows(
     knobs_b = jnp.broadcast_to(knobs[None, :], (bs, knobs.shape[-1]))
 
     def fwd(xi):
+        if mesh is not None:
+            from ..parallel import mesh as meshlib
+
+            xi = jax.lax.with_sharding_constraint(xi, meshlib.data_sharding(mesh))
         y_hat, _, _ = model.module.apply(params, xi, knobs_b)
         return y_hat
 

@@ -69,3 +69,20 @@ def test_predict_long_exact_tiling_no_trim():
     y = pl.predict_long(signal, np.zeros(4, np.float32), model, params,
                         batch_size=4)
     assert y.shape == (length - (512 - 128),)
+
+
+def test_predict_long_sharded_matches_single():
+    """Sequence-parallel inference (window axis over the data mesh) produces
+    the same audio as the single-device path."""
+    from signaltrain_tpu.parallel import mesh as meshlib
+
+    model = _tiny_model()
+    params = model.init(jax.random.PRNGKey(2))
+    rs = np.random.RandomState(3)
+    signal = (rs.randn(9000) * 0.3).astype(np.float32)
+    knobs = (rs.rand(4) - 0.5).astype(np.float32)
+
+    y1 = pl.predict_long(signal, knobs, model, params, batch_size=16)
+    mesh = meshlib.make_mesh(n_model=1)
+    y2 = pl.predict_long(signal, knobs, model, params, batch_size=16, mesh=mesh)
+    np.testing.assert_allclose(y1, y2, atol=2e-5)
