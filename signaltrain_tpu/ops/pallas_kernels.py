@@ -31,7 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
 _UNROLL = 8
-_T_BLOCK = 2048  # rows of VMEM per grid step: 2048*128*4B*(in+out) = 2 MB
+_T_BLOCK = 4096  # rows of VMEM per grid step (measured fastest; fits VMEM)
 
 
 def _smoother_kernel(g_ref, aa_ref, ar_ref, out_ref, carry_ref):
@@ -81,26 +81,29 @@ def switched_one_pole_batched(g, alpha_a, alpha_r, interpret: bool = False):
     b, n = g.shape
     t_block = min(_T_BLOCK, -(-n // _UNROLL) * _UNROLL)
     n_pad = -(-n // t_block) * t_block
-    b_pad = -(-b // LANES) * LANES
+    # 256 lanes per program once the batch fills two lane-tiles: halves the
+    # number of sequential grid programs (measured ~8% faster at batch 200)
+    lanes = 256 if b > LANES else LANES
+    b_pad = -(-b // lanes) * lanes
     gt = jnp.zeros((n_pad, b_pad), jnp.float32).at[:n, :b].set(g.T.astype(jnp.float32))
     gt = gt.at[0, :].set(0.0)  # uniform-loop trick; see kernel comment
     aa = jnp.zeros((1, b_pad), jnp.float32).at[0, :b].set(alpha_a.astype(jnp.float32))
     ar = jnp.zeros((1, b_pad), jnp.float32).at[0, :b].set(alpha_r.astype(jnp.float32))
 
-    grid = (b_pad // LANES, n_pad // t_block)  # time innermost: carry is local
+    grid = (b_pad // lanes, n_pad // t_block)  # time innermost: carry is local
     out = pl.pallas_call(
         _smoother_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((t_block, LANES), lambda i, j: (j, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_block, lanes), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lanes), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lanes), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (t_block, LANES), lambda i, j: (j, i), memory_space=pltpu.VMEM
+            (t_block, lanes), lambda i, j: (j, i), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n_pad, b_pad), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((1, LANES), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((1, lanes), jnp.float32)],
         interpret=interpret,
     )(gt, aa, ar)
     return out[:n, :b].T

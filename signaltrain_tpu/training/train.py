@@ -138,22 +138,78 @@ def make_train_step(model: STModel, tx, batch_fn, batch_size, mesh=None,
 
 
 def make_train_multi_step(model: STModel, tx, batch_fn, batch_size,
-                          n_inner: int, mesh=None, clip_max_norm: float = 1.0):
+                          n_inner: int, mesh=None, clip_max_norm: float = 1.0,
+                          use_shard_map: bool | None = None):
     """n_inner fused train steps per device call (lax.scan over the step
     body). Host dispatch in this environment rides a network relay with
     multi-ms jitter; batching steps on device amortizes it away and is the
     natural XLA formulation of the inner loop. Returns
     fn(params, opt_state, step0, key) -> (params, opt_state, losses[n_inner]).
+
+    On a multi-device pure-DP mesh the whole fused scan runs inside
+    shard_map: each device synthesizes and trains on its batch shard
+    (Pallas kernel included), pmean-ing grads per inner step.
     """
     n_bins = model.spec.ft_size // 2 + 1
     scale = loss_mod.freq_scale(n_bins)
-    dsh = meshlib.data_sharding(mesh) if mesh is not None else None
+    if use_shard_map is None:
+        use_shard_map = (
+            mesh is not None
+            and mesh.shape["data"] > 1
+            and mesh.shape.get("model", 1) == 1
+        )
+    dsh = (
+        meshlib.data_sharding(mesh) if (mesh is not None and not use_shard_map)
+        else None
+    )
 
     def loss_fn(p, x, y, knobs):
         y_hat, _, mag_hat = model.module.apply(p, x, knobs)
         return loss_mod.calc_loss(y_hat, y, mag_hat, scale_by_freq=scale)
 
     inv_fn = getattr(batch_fn, "make_invariants", None)
+
+    if use_shard_map:
+        from jax.sharding import PartitionSpec as P
+
+        n_data = mesh.shape["data"]
+        assert batch_size % n_data == 0, (batch_size, n_data)
+        local_batch = batch_size // n_data
+
+        def local_multi_step(params, opt_state, step0, base_key):
+            inv = inv_fn() if inv_fn is not None else None
+            shard = jax.lax.axis_index("data")
+
+            def body(carry, i):
+                params, opt_state = carry
+                key = jax.random.fold_in(
+                    jax.random.fold_in(base_key, step0 + i), shard
+                )
+                keys = jax.random.split(key, local_batch)
+                x, y, knobs = (
+                    batch_fn(keys, inv) if inv is not None else batch_fn(keys)
+                )
+                l, grads = jax.value_and_grad(loss_fn)(params, x, y, knobs)
+                l = jax.lax.pmean(l, "data")
+                grads = jax.lax.pmean(grads, "data")
+                grads = clip_frontend_grads(grads, clip_max_norm)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), l
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), jnp.arange(n_inner)
+            )
+            return params, opt_state, losses
+
+        fn = jax.shard_map(
+            local_multi_step,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(fn, donate_argnums=(0, 1))
 
     def multi_step(params, opt_state, step0, base_key):
         inv = inv_fn() if inv_fn is not None else None
@@ -396,14 +452,9 @@ def train(
         val_rng_factory = lambda: np.random.default_rng(7)  # frozen val stream
         n_inner = 1
     else:
-        # Fuse status_every steps per device call when it tiles the epoch and
-        # the single-chip GSPMD path applies (multi-device DP goes through
-        # shard_map single steps).
-        dp_devices = mesh.shape["data"] if mesh is not None else 1
-        fuse = (steps_per_epoch % status_every == 0) and (
-            dp_devices == 1 or n_model > 1
-        )
-        n_inner = status_every if fuse else 1
+        # Fuse status_every steps per device call when it tiles the epoch;
+        # multi-device DP runs the fused scan inside shard_map.
+        n_inner = status_every if steps_per_epoch % status_every == 0 else 1
         if n_inner > 1:
             multi_step = make_train_multi_step(
                 model, tx, batch_fn, batch_size, n_inner, mesh=mesh
