@@ -29,6 +29,10 @@ def num_frames(length: int, ft_size: int, hop_size: int, pad: int) -> int:
     return (length + 2 * pad - ft_size) // hop_size + 1
 
 
+import functools
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
 def frame_signal(x: jnp.ndarray, ft_size: int, hop_size: int, pad: int) -> jnp.ndarray:
     """Slice a batch of signals into overlapping frames.
 
@@ -37,13 +41,37 @@ def frame_signal(x: jnp.ndarray, ft_size: int, hop_size: int, pad: int) -> jnp.n
     analysis convs (cls_fe_dft.py:28-31: kernel=ft, stride=hop, padding=ft).
 
     Implemented as a static gather; XLA lowers this to an efficient copy and
-    fuses it with the consuming GEMM where possible.
+    fuses it with the consuming GEMM where possible. A custom VJP supplies
+    the exact adjoint — overlap-add — because XLA's automatic transpose of
+    the gather is a scatter-add, which is slow on TPU.
     """
+    return _frame_signal_fwd_impl(x, ft_size, hop_size, pad)
+
+
+def _frame_signal_fwd_impl(x, ft_size, hop_size, pad):
     if pad > 0:
         x = jnp.pad(x, ((0, 0), (pad, pad)))
     t = num_frames(x.shape[-1], ft_size, hop_size, 0)
     idx = np.arange(t)[:, None] * hop_size + np.arange(ft_size)[None, :]
     return x[:, idx]
+
+
+def _frame_signal_fwd(x, ft_size, hop_size, pad):
+    return _frame_signal_fwd_impl(x, ft_size, hop_size, pad), x.shape[-1]
+
+
+def _frame_signal_bwd(ft_size, hop_size, pad, length, g):
+    # adjoint of framing: each frame's cotangent overlap-adds back onto the
+    # (padded) signal; then strip the padding.
+    acc = overlap_add(g, hop_size)  # (B, (T-1)*hop + ft)
+    padded_len = length + 2 * pad
+    if acc.shape[-1] < padded_len:
+        acc = jnp.pad(acc, ((0, 0), (0, padded_len - acc.shape[-1])))
+    dx = acc[:, pad : pad + length] if pad > 0 else acc[:, :length]
+    return (dx,)
+
+
+frame_signal.defvjp(_frame_signal_fwd, _frame_signal_bwd)
 
 
 def overlap_add(frames: jnp.ndarray, hop_size: int) -> jnp.ndarray:
