@@ -79,11 +79,14 @@ def switched_one_pole_batched(g, alpha_a, alpha_r, interpret: bool = False):
     interpret=True runs the kernel in the Pallas interpreter (CPU testing).
     """
     b, n = g.shape
-    t_block = min(_T_BLOCK, -(-n // _UNROLL) * _UNROLL)
-    n_pad = -(-n // t_block) * t_block
     # 256 lanes per program once the batch fills two lane-tiles: halves the
-    # number of sequential grid programs (measured ~8% faster at batch 200)
+    # number of sequential grid programs (measured ~8% faster at batch 200).
+    # Keep t_block*lanes*4B*2(buffers)*2(in+out) within the 16 MB VMEM budget
+    # including the pipeline's prefetch headroom: cap the product at 2048*256.
     lanes = 256 if b > LANES else LANES
+    t_block = _T_BLOCK if lanes == LANES else _T_BLOCK // 2
+    t_block = min(t_block, -(-n // _UNROLL) * _UNROLL)
+    n_pad = -(-n // t_block) * t_block
     b_pad = -(-b // lanes) * lanes
     gt = jnp.zeros((n_pad, b_pad), jnp.float32).at[:n, :b].set(g.T.astype(jnp.float32))
     gt = gt.at[0, :].set(0.0)  # uniform-loop trick; see kernel comment
