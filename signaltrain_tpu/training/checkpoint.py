@@ -174,3 +174,59 @@ def restore_optax_state(template_state, leaves):
         for tmpl, saved in zip(template_leaves, leaves)
     ]
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+# ----------------------------------------------------------------- orbax
+
+def save_checkpoint_orbax(ckpt_dir: str, params, spec, effect, epoch: int,
+                          optax_state=None, step: int = 0):
+    """Orbax-backed checkpoint (async-capable, sharding-aware production
+    format). Same metadata payload as the .tar schema; use for large-scale
+    runs, keep .tar for reference interchange."""
+    import json
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(ckpt_dir)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.join(path, "params"), params, force=True)
+        if optax_state is not None:
+            leaves = [np.asarray(x) for x in jax.tree_util.tree_leaves(optax_state)]
+            ckptr.save(
+                os.path.join(path, "opt_state"),
+                {str(i): v for i, v in enumerate(leaves)},
+                force=True,
+            )
+    meta = {
+        "epoch": epoch + 1,
+        "effect_name": effect.name,
+        "knob_names": list(effect.knob_names),
+        "knob_ranges": np.asarray(effect.knob_ranges).tolist(),
+        "scale_factor": spec.scale_factor,
+        "shrink_factor": spec.shrink_factor,
+        "in_chunk_size": spec.in_chunk_size,
+        "out_chunk_size": spec.out_chunk_size,
+        "sr": spec.sr,
+        "optax_step": step,
+    }
+    with open(os.path.join(path, "metadata.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+
+
+def load_checkpoint_orbax(ckpt_dir: str):
+    """Load an orbax checkpoint dir -> (params, run_values)."""
+    import json
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(ckpt_dir)
+    with open(os.path.join(path, "metadata.json")) as f:
+        rv = json.load(f)
+    rv["knob_ranges"] = np.array(rv["knob_ranges"])
+    with ocp.StandardCheckpointer() as ckptr:
+        params = ckptr.restore(os.path.join(path, "params"))
+        opt_dir = os.path.join(path, "opt_state")
+        if os.path.isdir(opt_dir):
+            d = ckptr.restore(opt_dir)
+            rv["optax_state"] = [d[str(i)] for i in range(len(d))]
+    return params, rv

@@ -124,3 +124,16 @@ def test_smoke_train_loss_decreases(tmp_path, monkeypatch):
     # resume path: loading the checkpoint restores geometry + optimizer
     params2, rv = checkpoint.load_checkpoint("modelcheckpoint.tar")
     assert "optax_state" in rv and rv["optax_step"] == 20
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    model = st_model(num_knobs=4)
+    params = jax.device_get(model.init(jax.random.PRNGKey(2)))
+    effect = effects.Compressor_4c()
+    d = str(tmp_path / "ock")
+    checkpoint.save_checkpoint_orbax(d, params, model.spec, effect, epoch=7)
+    p2, rv = checkpoint.load_checkpoint_orbax(d)
+    assert rv["epoch"] == 8
+    assert rv["effect_name"] == "Compressor_4c"
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
