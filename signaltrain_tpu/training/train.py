@@ -365,12 +365,19 @@ def train(
     n_model: int = 1,
     status_every: int = 10,
     make_plots: bool = True,
+    device=None,
+    apex_opt=None,
 ):
     """Main training routine (reference train(), train.py:167-278).
 
     Returns (model, params). datapath=None synthesizes data on device;
     otherwise reads a pre-generated file dataset (data/file_data.py).
+
+    device and apex_opt are accepted for reference-signature compatibility
+    and ignored: placement is the mesh's job and mixed precision is the
+    native bf16 compute_dtype policy (no Apex, no loss scaling).
     """
+    del device, apex_opt
     print(f"SignalTrain-TPU training began at {time.ctime()}. Options:")
     print(f"    epochs = {epochs}, n_data_points = {n_data_points}, batch_size = {batch_size}")
     print(f"    scale_factor = {scale_factor}, shrink_factor = {shrink_factor}, "
