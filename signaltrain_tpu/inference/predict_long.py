@@ -3,10 +3,25 @@
 
 The reference slides a window (lookback = chunk - out_chunk), batches up to
 200 windows at a time with a host loop and np.append. Here the whole pass —
-window extraction, batched forward over all windows, concatenation, tail
-trim — is a single jit: windows become a leading axis, batches run under
-lax.map with static shapes, and the batch/window axis is shardable across
-chips (this workload's 'sequence parallelism', SURVEY.md §5).
+window extraction, batched forward over all windows, tail trim — is a single
+jit over static shapes, designed around the three costs that actually matter
+on this hardware:
+
+* window extraction is strided-slice framing (ops/framing.py), not a gather
+  (a gather costs ~100 ms alone on a 60 s signal);
+* ALL windows run as one big batched forward (the MXU wants one large GEMM,
+  not a host loop of 200-window batches; very long signals fall back to a
+  lax.map over 1024-window super-batches);
+* window counts are bucketed (pow2 below 1024, multiples of 1024 above) so
+  arbitrary signal lengths hit a handful of compiled graphs instead of one
+  per length;
+* the input stays device-resident if the caller passes a jax.Array, and
+  `return_device=True` returns the (async) device result without forcing the
+  device->host pull — callers streaming many clips overlap the fetch of clip
+  i with the compute of clip i+1.
+
+The window axis is this workload's sequence parallelism: with a mesh it is
+sharded over the 'data' axis (SURVEY.md §5).
 """
 
 from __future__ import annotations
@@ -20,6 +35,8 @@ import numpy as np
 from ..dsp.compressors import mu_compand
 from ..ops import framing
 
+_SUPER_BATCH = 1024  # windows per forward when lax.map batching kicks in
+
 
 def predict_long(
     signal,
@@ -29,34 +46,56 @@ def predict_long(
     chunk_size: int | None = None,
     out_chunk_size: int | None = None,
     sr: int = 44100,
-    batch_size: int = 200,
+    batch_size: int | None = None,
     compand: bool = False,
     mesh=None,
+    return_device: bool = False,
+    out_dtype=None,
 ):
     """Process an arbitrarily long 1-D signal; returns the prediction,
     length len(signal) - lookback_head (exactly the reference's output
     alignment: caller zero-pads the head, predict_long.py:221-223).
 
-    With a mesh, each forward batch is sharded over the 'data' axis — the
-    window axis is this workload's sequence parallelism (SURVEY.md §5)."""
+    Pass a jax.Array `signal` to keep it device-resident across calls;
+    `return_device=True` skips the host pull and returns the jax.Array
+    (dispatch is async — block or np.asarray when you need the data).
+    `out_dtype="int16"` converts on device and delivers 16-bit PCM (the wav
+    wire format) — half the bytes over the host link, which dominates
+    end-to-end latency when the device link is slow. `batch_size` is accepted
+    for API compatibility; batching is now chosen internally (one fused
+    forward, super-batched past 1024 windows).
+    """
+    del batch_size
     chunk_size = chunk_size or model.spec.in_chunk_size
     out_chunk_size = out_chunk_size or model.spec.out_chunk_size
-    signal = jnp.asarray(signal, jnp.float32)
+    if not isinstance(signal, jax.Array):
+        signal = jax.device_put(jnp.asarray(signal, jnp.float32))
+    signal = signal.astype(jnp.float32)
     knobs = jnp.asarray(knobs_nn, jnp.float32)
 
     overlap = chunk_size - out_chunk_size
-    n_windows = _num_windows(int(signal.shape[-1]), chunk_size, overlap)
-    if mesh is not None:  # batch must tile the data axis
-        n_data = mesh.shape["data"]
-        batch_size = max(n_data, batch_size - batch_size % n_data)
+    length = int(signal.shape[-1])
+    n_windows = _num_windows(length, chunk_size, overlap)
+    n_bucket = _bucket(n_windows, mesh)
     y = _predict_windows(
         model, params, signal, knobs, chunk_size, out_chunk_size, overlap,
-        n_windows, batch_size, compand, mesh,
+        n_bucket, compand, mesh,
     )
-    # windows may have been zero-padded at the tail; trim the extras
+    # y covers n_bucket windows; keep the real ones, then trim the zero-pad
+    # tail of the last real window (reference predict_long.py:72-79)
     unique = chunk_size + (n_windows - 1) * out_chunk_size
-    num_extra = unique - int(signal.shape[-1])
-    return np.asarray(y[: y.shape[0] - num_extra] if num_extra > 0 else y)
+    keep = n_windows * out_chunk_size - max(0, unique - length)
+    y = jax.lax.slice_in_dim(y, 0, keep, axis=0)
+    if out_dtype is not None and jnp.dtype(out_dtype) == jnp.int16:
+        y = _to_pcm16(y)
+    elif out_dtype is not None:
+        y = y.astype(out_dtype)
+    return y if return_device else np.asarray(y)
+
+
+@jax.jit
+def _to_pcm16(y):
+    return (jnp.clip(y, -1.0, 1.0) * 32767.0).astype(jnp.int16)
 
 
 def _num_windows(length: int, size: int, overlap: int) -> int:
@@ -66,41 +105,58 @@ def _num_windows(length: int, size: int, overlap: int) -> int:
     return (padded - size) // step + 1
 
 
+def _bucket(n_windows: int, mesh=None) -> int:
+    """Round the window count up to a compile bucket: the next power of two
+    below _SUPER_BATCH, multiples of _SUPER_BATCH above (one compiled graph
+    per ~47 s of extra audio instead of one per sample-length)."""
+    n = max(16, int(n_windows))
+    if n <= _SUPER_BATCH:
+        b = 1 << (n - 1).bit_length()
+    else:
+        b = -(-n // _SUPER_BATCH) * _SUPER_BATCH
+    if mesh is not None:
+        n_data = mesh.shape["data"]
+        b = -(-b // n_data) * n_data
+    return b
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "model", "chunk_size", "out_chunk_size", "overlap", "n_windows",
-        "batch_size", "compand", "mesh",
+        "model", "chunk_size", "out_chunk_size", "overlap", "n_bucket",
+        "compand", "mesh",
     ),
 )
 def _predict_windows(
     model, params, signal, knobs, chunk_size, out_chunk_size, overlap,
-    n_windows, batch_size, compand, mesh=None,
+    n_bucket, compand, mesh=None,
 ):
+    # zero-pad the signal so exactly n_bucket windows tile it; padding
+    # windows are all-zero and sliced away by the caller
+    need = chunk_size + (n_bucket - 1) * out_chunk_size
+    if need > signal.shape[-1]:
+        signal = jnp.pad(signal, (0, need - signal.shape[-1]))
+    else:
+        signal = signal[:need]
     x = framing.sliding_window(signal, chunk_size, overlap=overlap)
+    x = x[:n_bucket]
     if compand:
         x = mu_compand(x)
-    bs = min(batch_size, n_windows)
     if mesh is not None:
-        n_data = mesh.shape["data"]
-        bs = max(n_data, bs - bs % n_data)
-    n_batches = -(-n_windows // bs)
-    pad = n_batches * bs - n_windows
-    if pad:
-        x = jnp.concatenate([x, jnp.zeros((pad, chunk_size), x.dtype)])
-    xb = x.reshape(n_batches, bs, chunk_size)
-    knobs_b = jnp.broadcast_to(knobs[None, :], (bs, knobs.shape[-1]))
+        from ..parallel import mesh as meshlib
+
+        x = jax.lax.with_sharding_constraint(x, meshlib.data_sharding(mesh))
 
     def fwd(xi):
-        if mesh is not None:
-            from ..parallel import mesh as meshlib
-
-            xi = jax.lax.with_sharding_constraint(xi, meshlib.data_sharding(mesh))
-        y_hat, _, _ = model.module.apply(params, xi, knobs_b)
+        kb = jnp.broadcast_to(knobs[None, :], (xi.shape[0], knobs.shape[-1]))
+        y_hat, _, _ = model.module.apply(params, xi, kb)
         return y_hat
 
-    yb = jax.lax.map(fwd, xb)  # (n_batches, bs, out_chunk)
-    y = yb.reshape(n_batches * bs, out_chunk_size)[:n_windows]
+    if n_bucket <= _SUPER_BATCH:
+        y = fwd(x)
+    else:
+        xb = x.reshape(n_bucket // _SUPER_BATCH, _SUPER_BATCH, chunk_size)
+        y = jax.lax.map(fwd, xb)
     return y.reshape(-1)
 
 

@@ -19,6 +19,9 @@ here are shape-static and jittable.
 
 from __future__ import annotations
 
+import functools
+import math
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -29,7 +32,20 @@ def num_frames(length: int, ft_size: int, hop_size: int, pad: int) -> int:
     return (length + 2 * pad - ft_size) // hop_size + 1
 
 
-import functools
+# Framing is pure data movement, but HOW it is expressed decides the cost on
+# TPU: a (T, ft) advanced-index gather lowers to a generic XLA gather that
+# runs orders of magnitude below HBM bandwidth (measured ~100 ms to frame a
+# 60 s signal into predict_long windows). Because size and hop share a large
+# gcd g in every model geometry (1024/384 -> g=128; 8192/2048 -> g=2048), the
+# signal can instead be viewed as contiguous g-sample blocks, where frame t's
+# j-th block is block[t*(hop/g) + j] — a STRIDED SLICE per j. size/g slices +
+# one stack replace the gather with copies XLA executes at memory speed.
+_MAX_SLICE_PARTS = 64
+
+
+def _gcd_blocks(size: int, step: int) -> tuple[int, int, int]:
+    g = math.gcd(size, step)
+    return g, size // g, step // g
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
@@ -52,6 +68,20 @@ def _frame_signal_fwd_impl(x, ft_size, hop_size, pad):
     if pad > 0:
         x = jnp.pad(x, ((0, 0), (pad, pad)))
     t = num_frames(x.shape[-1], ft_size, hop_size, 0)
+    g, n_parts, step_b = _gcd_blocks(ft_size, hop_size)
+    if n_parts <= _MAX_SLICE_PARTS:
+        # strided-slice framing (see module note): frame i, part j is
+        # g-sample block i*step_b + j of the padded signal.
+        need = ((t - 1) * step_b + n_parts) * g
+        target = max(need, -(-x.shape[-1] // g) * g)
+        if target != x.shape[-1]:
+            x = jnp.pad(x, ((0, 0), (0, target - x.shape[-1])))
+        blocks = x.reshape(x.shape[0], x.shape[-1] // g, g)
+        parts = [
+            jax.lax.slice_in_dim(blocks, j, j + (t - 1) * step_b + 1, step_b, axis=1)
+            for j in range(n_parts)
+        ]
+        return jnp.stack(parts, axis=2).reshape(x.shape[0], t, ft_size)
     idx = np.arange(t)[:, None] * hop_size + np.arange(ft_size)[None, :]
     return x[:, idx]
 
@@ -116,6 +146,20 @@ def sliding_window(x: jnp.ndarray, size: int, overlap: int = 0) -> jnp.ndarray:
     if remainder != 0:
         x = jnp.pad(x, (0, step - remainder))
     nwin = (x.shape[-1] - size) // step + 1
+    g, n_parts, step_b = _gcd_blocks(size, step)
+    if n_parts <= _MAX_SLICE_PARTS:
+        # strided-slice windowing — same trick as frame_signal (module note);
+        # the gather formulation costs ~100 ms on a 60 s predict_long signal.
+        need = ((nwin - 1) * step_b + n_parts) * g
+        target = max(need, -(-x.shape[-1] // g) * g)
+        if target != x.shape[-1]:
+            x = jnp.pad(x, (0, target - x.shape[-1]))
+        blocks = x.reshape(x.shape[-1] // g, g)
+        parts = [
+            jax.lax.slice_in_dim(blocks, j, j + (nwin - 1) * step_b + 1, step_b, axis=0)
+            for j in range(n_parts)
+        ]
+        return jnp.stack(parts, axis=1).reshape(nwin, size)
     idx = np.arange(nwin)[:, None] * step + np.arange(size)[None, :]
     return x[idx]
 
