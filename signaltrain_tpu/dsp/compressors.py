@@ -41,10 +41,12 @@ def _per_example(k, x):
 def _smooth(g, alpha_a, alpha_r):
     """Dispatch the switched one-pole smoother: Pallas kernel on TPU
     (~30x faster than the scan, and the scan's huge unrolled graphs also
-    compile pathologically slowly on this backend), lax.scan elsewhere."""
-    if g.ndim in (1, 2) and _on_tpu():
-        from ..ops import pallas_kernels
+    compile pathologically slowly on this backend), lax.scan elsewhere.
+    pallas_kernels.FORCE_INTERPRET routes CPU tests through the real kernel
+    in the Pallas interpreter."""
+    from ..ops import pallas_kernels
 
+    if g.ndim in (1, 2) and (_on_tpu() or pallas_kernels.FORCE_INTERPRET):
         g2 = g[None, :] if g.ndim == 1 else g
         b = g2.shape[0]
         aa = jnp.broadcast_to(jnp.asarray(alpha_a).reshape(-1), (b,))

@@ -236,6 +236,20 @@ def make_train_multi_step(model: STModel, tx, batch_fn, batch_size,
     return jax.jit(multi_step, donate_argnums=(0, 1))
 
 
+def pick_n_inner(steps_per_epoch: int, status_every: int, cap: int = 250) -> int:
+    """Fused steps per device call: the largest k <= cap that divides the
+    epoch and aligns with the status cadence. Host dispatch on this harness
+    rides a network relay with ~100 ms jittery RTTs; at ~1-3 ms device step
+    time the relay dominates unless O(100) steps ride one call. Status lines
+    keep the reference's every-10-batches cadence — they are printed from the
+    per-step losses vector the fused call returns."""
+    best = 1
+    for k in range(status_every, min(cap, steps_per_epoch) + 1, status_every):
+        if steps_per_epoch % k == 0:
+            best = k
+    return best
+
+
 def make_train_step_from_arrays(model: STModel, tx, mesh=None,
                                 clip_max_norm: float = 1.0):
     """Train-step variant fed with host-sampled (x, y, knobs) arrays — used
@@ -459,15 +473,12 @@ def train(
         val_rng_factory = lambda: np.random.default_rng(7)  # frozen val stream
         n_inner = 1
     else:
-        # Fuse status_every steps per device call when it tiles the epoch;
+        # Fuse up to 250 steps per device call (see pick_n_inner);
         # multi-device DP runs the fused scan inside shard_map.
-        n_inner = status_every if steps_per_epoch % status_every == 0 else 1
-        if n_inner > 1:
-            multi_step = make_train_multi_step(
-                model, tx, batch_fn, batch_size, n_inner, mesh=mesh
-            )
-        else:
-            train_step = make_train_step(model, tx, batch_fn, batch_size, mesh=mesh)
+        n_inner = pick_n_inner(steps_per_epoch, status_every)
+        multi_step = make_train_multi_step(
+            model, tx, batch_fn, batch_size, n_inner, mesh=mesh
+        )
         eval_scan = make_eval_scan(
             model, val_batch_fn, batch_size,
             max(1, (n_data_points // 4) // batch_size), mesh=mesh,
@@ -480,8 +491,30 @@ def train(
     iter_count, batch_num = step0, 0
     avg_loss, vl_avg, beta = 0.0, 0.0, 0.98
     smoothed_loss = 0.0
-    pending_loss = None
+    pending = None  # (losses_device_vec, epoch_label, iter0, data_point0)
     first_time = time.time()
+
+    def process_pending(pend):
+        # One-call-deep pipeline: the previous call's losses have landed by
+        # the time the next call is dispatched, so fetching them here never
+        # stalls on the relay. Per-batch EMA + every-status_every print,
+        # exactly the reference cadence (train.py:123-129).
+        nonlocal avg_loss, smoothed_loss, batch_num
+        losses_vec, ep_label, iter0, dp0 = pend
+        for i, lv in enumerate(np.asarray(losses_vec)):
+            batch_num += 1
+            avg_loss = beta * avg_loss + (1 - beta) * float(lv)
+            smoothed_loss = avg_loss / (1 - beta**batch_num)
+            if 0 == batch_num % status_every:
+                lr = float(lr_fn(iter0 + i))
+                mom = float(mom_fn(iter0 + i))
+                timediff = time.time() - first_time
+                print(
+                    f"\repoch {ep_label + 1}/{epochs}, time: {timediff:.2f}: "
+                    f"lr={lr:.2e},mom={mom:.3f}, data_point {dp0 + (i + 1) * batch_size}: "
+                    f"loss: {smoothed_loss:.3e}   ",
+                    end="",
+                )
 
     for epoch in range(epochs):
         print("")
@@ -490,42 +523,24 @@ def train(
             if host_data:
                 xb, yb, kb = train_ds.host_batch(batch_size, host_rng)
                 params, opt_state, l = train_step_arr(params, opt_state, xb, yb, kb)
-            elif n_inner > 1:
+                losses = jnp.reshape(l, (1,))
+            else:
                 params, opt_state, losses = multi_step(
                     params, opt_state, jnp.asarray(iter_count), base_key
                 )
-                l = losses[-1]
-            else:
-                params, opt_state, l = train_step(
-                    params, opt_state, jnp.asarray(iter_count), base_key
-                )
+            new_pend = (losses, epoch, iter_count, data_point)
             data_point += batch_size * n_inner
-            batch_num += n_inner
             iter_count += n_inner
-            if 0 == batch_num % status_every:
-                # One-call-deep pipeline on the loss fetch: float() of THIS
-                # call's loss would stall on the device round-trip (the relay
-                # RTT dominates); the previous call's value has already
-                # landed, so report it instead (content lags status_every
-                # batches; identical information).
-                l_now = l
-                if pending_loss is not None:
-                    lr = float(lr_fn(iter_count - 1))
-                    mom = float(mom_fn(iter_count - 1))
-                    avg_loss = beta * avg_loss + (1 - beta) * float(pending_loss)
-                    smoothed_loss = avg_loss / (1 - beta**batch_num)
-                    timediff = time.time() - first_time
-                    print(
-                        f"\repoch {epoch + 1}/{epochs}, time: {timediff:.2f}: "
-                        f"lr={lr:.2e},mom={mom:.3f}, data_point {data_point}: "
-                        f"loss: {smoothed_loss:.3e}   ",
-                        end="",
-                    )
-                pending_loss = l_now
+            if pending is not None:
+                process_pending(pending)
+            pending = new_pend
 
         # ---- eval / status / save (train.py:28-80)
         last = None
         if host_data:
+            if pending is not None:
+                process_pending(pending)
+                pending = None
             vrng = val_rng_factory()
             for v in range(val_steps):
                 xb, yb, kb = val_ds.host_batch(batch_size, vrng)
@@ -533,8 +548,13 @@ def train(
                 vl_avg = beta * vl_avg + (1 - beta) * float(loss_val)
         else:
             # whole val pass in one device call; EMA applied to the losses
-            # vector on host (identical arithmetic, 1 round-trip)
+            # vector on host (identical arithmetic, 1 round-trip). Dispatch
+            # first (async), then drain this epoch's pending status lines —
+            # their losses have already landed, so the log stays in order.
             losses_val, val_mae, last = eval_scan(params)
+            if pending is not None:
+                process_pending(pending)
+                pending = None
             for lv in np.asarray(losses_val):
                 vl_avg = beta * vl_avg + (1 - beta) * float(lv)
             loss_val = losses_val[-1]
@@ -574,5 +594,7 @@ def train(
                 f"on {time.ctime(future)}"
             )
 
+    if pending is not None:
+        process_pending(pending)
     print("\nTotal elapsed time for training loop =", time.time() - first_time)
     return model, params
