@@ -1,9 +1,18 @@
 """Audio file I/O (reference: audio.py:207-293).
 
-scipy wavfile is the fast path, exactly as the reference; the librosa
-fallback/resampler is replaced by scipy.signal.resample_poly with a Kaiser
-window (librosa is not available, and polyphase resampling is the same
-algorithm class as its 'kaiser_fast' mode).
+scipy wavfile is the fast path, exactly as the reference. The reference's
+non-wav fallback is librosa.core.load (audio.py:238-242), which shells out to
+audioread/ffmpeg; here the fallback chain is:
+
+1. .aif/.aiff/.aifc — a native AIFF/AIFC parser (IFF chunks, big-endian PCM,
+   'sowt' little-endian AIFC, 80-bit extended-float sample rate). No external
+   dependency, works everywhere.
+2. anything else (.mp3/.m4a/.ogg/...) — ffmpeg subprocess decode when an
+   ffmpeg binary is on PATH (the same decoder librosa ends up using).
+3. otherwise — a clear error naming the formats this install can read.
+
+The librosa resampler is replaced by scipy.signal.resample_poly with a Kaiser
+window (polyphase resampling, the same algorithm class as 'kaiser_fast').
 """
 
 from __future__ import annotations
@@ -11,11 +20,98 @@ from __future__ import annotations
 import glob
 import math
 import os
+import shutil
+import struct
+import subprocess
 import warnings
 
 import numpy as np
 from scipy.io import wavfile
 from scipy import signal as ssig
+
+
+def _float80(b: bytes) -> float:
+    """IEEE 754 extended 80-bit float (AIFF COMM sample rate)."""
+    (se,) = struct.unpack(">H", b[:2])
+    (mant,) = struct.unpack(">Q", b[2:10])
+    sign = -1.0 if se & 0x8000 else 1.0
+    exp = se & 0x7FFF
+    if exp == 0 and mant == 0:
+        return 0.0
+    return sign * mant * 2.0 ** (exp - 16383 - 63)
+
+
+def _read_aiff(filename: str):
+    """Native AIFF / AIFF-C reader -> (int_samples (frames, ch), sample_rate).
+
+    Handles 8/16/24/32-bit PCM, big-endian ('NONE') and the common
+    little-endian AIFC variant ('sowt')."""
+    with open(filename, "rb") as f:
+        data = f.read()
+    if len(data) < 12 or data[:4] != b"FORM" or data[8:12] not in (b"AIFF", b"AIFC"):
+        raise ValueError(f"{filename}: not an AIFF/AIFC file")
+    pos, end = 12, 4 + 4 + struct.unpack(">I", data[4:8])[0]
+    comm = ssnd = None
+    while pos + 8 <= min(end, len(data)):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack(">I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"COMM":
+            comm = body
+        elif cid == b"SSND":
+            ssnd = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if comm is None or ssnd is None:
+        raise ValueError(f"{filename}: missing COMM/SSND chunk")
+
+    n_ch, n_frames, bits = struct.unpack(">hIh", comm[:8])
+    rate = _float80(comm[8:18])
+    compression = comm[18:22] if len(comm) >= 22 else b"NONE"
+    if compression not in (b"NONE", b"sowt"):
+        raise ValueError(
+            f"{filename}: unsupported AIFC compression {compression!r} "
+            "(only uncompressed PCM is supported)"
+        )
+    offset, _blocksize = struct.unpack(">II", ssnd[:8])
+    raw = ssnd[8 + offset :]
+
+    nbytes = (bits + 7) // 8
+    raw = raw[: n_frames * n_ch * nbytes]
+    order = "<" if compression == b"sowt" else ">"
+    if nbytes == 3:  # 24-bit: widen to int32 keeping sign
+        a = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        if order == ">":
+            a = a[:, ::-1]
+        samples = (
+            a[:, 0].astype(np.int32)
+            | (a[:, 1].astype(np.int32) << 8)
+            | (a[:, 2].astype(np.int32) << 16)
+        )
+        samples = (samples << 8) >> 8  # sign-extend
+        peak = float(2**23 - 1)
+    else:
+        dtype = {1: "i1", 2: f"{order}i2", 4: f"{order}i4"}[nbytes]
+        samples = np.frombuffer(raw, dtype=np.dtype(dtype)).astype(np.int32)
+        peak = float(2 ** (8 * nbytes - 1) - 1)
+    signal = samples.astype(np.float32) / peak
+    return signal.reshape(-1, n_ch), int(round(rate))
+
+
+def _read_via_ffmpeg(filename: str, sr: int, mono: bool):
+    """Decode any format ffmpeg knows to float32 PCM over a pipe."""
+    cmd = [
+        "ffmpeg", "-v", "error", "-i", filename,
+        "-f", "f32le", "-acodec", "pcm_f32le", "-ar", str(int(sr)),
+    ]
+    if mono:
+        cmd += ["-ac", "1"]
+    cmd += ["-"]
+    proc = subprocess.run(cmd, capture_output=True)
+    if proc.returncode != 0:
+        raise ValueError(
+            f"ffmpeg failed to decode {filename}: {proc.stderr.decode(errors='replace')}"
+        )
+    return np.frombuffer(proc.stdout, dtype=np.float32), int(sr)
 
 
 def resample(signal: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
@@ -34,12 +130,29 @@ def read_audio_file(
     warn: bool = True,
     fix_and_overwrite: bool = False,
 ):
-    """Read a WAV file; convert to mono float in [-1, 1]; resample to sr if
-    needed (audio.py:207-255). Returns (signal, sr)."""
+    """Read an audio file; convert to mono float in [-1, 1]; resample to sr
+    if needed (audio.py:207-255). Returns (signal, sr).
+
+    WAV rides scipy (the reference's fast path); .aif/.aiff/.aifc use the
+    native AIFF parser; other formats decode through ffmpeg when available —
+    the reference's librosa fallback (audio.py:238-242) — else a clear error.
+    """
     might_overwrite = False
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore")
-        read_sr, signal = wavfile.read(filename)
+    ext = os.path.splitext(filename)[1].lower()
+    if ext in (".wav", ".wave", ""):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            read_sr, signal = wavfile.read(filename)
+    elif ext in (".aif", ".aiff", ".aifc"):
+        signal, read_sr = _read_aiff(filename)
+    elif shutil.which("ffmpeg"):
+        signal, read_sr = _read_via_ffmpeg(filename, sr=sr, mono=mono)
+    else:
+        raise ValueError(
+            f"Cannot read {filename}: this install decodes .wav and "
+            f".aif/.aiff natively; for {ext!r} install ffmpeg on PATH "
+            f"(the reference used librosa/audioread the same way)"
+        )
 
     if mono and signal.ndim > 1:
         signal = signal[:, 0]
