@@ -287,14 +287,18 @@ class TimeAlign(Effect):
         self.knob_names = ["strength"]
         self.knob_ranges = np.array([[0.001, 0.5]], dtype=np.float32)
         self.is_inverse = True
-        self.t = jnp.arange(chunk_size, dtype=jnp.float32) / sr
+        # chunk_size kept for API parity with the reference's hardcoded 4096
+        # (audio.py:596 "TODO un-hardcode this"); synthesis below follows the
+        # actual input length so any model geometry works.
+        del chunk_size
 
     def go_wc(self, x, knobs_wc, key=None):
         if key is None:
             raise ValueError("TimeAlign.go_wc requires a PRNG key")
         k_choose, k_shift, k_synth = jax.random.split(key, 3)
         chooser = synths.choose_from(k_choose, (2, 4, 6, 7))
-        y = synths.synth_input_sample(k_synth, self.t, chooser, t0_fac=0.5)
+        t = jnp.arange(x.shape[-1], dtype=jnp.float32) / self.sr
+        y = synths.synth_input_sample(k_synth, t, chooser, t0_fac=0.5)
         n = x.shape[-1]
         shift = (
             n * knobs_wc[0] * (2.0 * jax.random.uniform(k_shift) - 1.0)

@@ -51,6 +51,11 @@ def pitch_shift(x: jnp.ndarray, sr: float, n_steps, ft: int = 2048, hop: int = 5
     """
     del sr  # pitch factor is relative; sr kept for API parity
     n = x.shape[-1]
+    if n < 4 * ft:
+        # short signals (small-geometry training chunks): shrink the frame to
+        # a power of two <= n/4 so the vocoder keeps >= ~13 analysis frames
+        ft = max(32, 1 << int(np.floor(np.log2(max(32, n // 4)))))
+        hop = ft // 4
     f = jnp.power(2.0, n_steps / 12.0)
 
     # --- stage 1: resample into a 2N buffer (linear interpolation)

@@ -353,7 +353,9 @@ def make_eval_scan(model: STModel, val_batch_fn, batch_size, n_val_steps: int,
             jnp.zeros((batch_size, spec.output_time_frames, half)),
         )
         last, (losses, maes) = jax.lax.scan(body, init, jnp.arange(n_val_steps))
-        return losses, maes[-1], last
+        # full maes vector out: the caller logs last-batch MAE (reference
+        # behavior, train.py:57-59) AND the whole-val-pass mean
+        return losses, maes, last
 
     return jax.jit(eval_all)
 
@@ -551,18 +553,25 @@ def train(
             # vector on host (identical arithmetic, 1 round-trip). Dispatch
             # first (async), then drain this epoch's pending status lines —
             # their losses have already landed, so the log stays in order.
-            losses_val, val_mae, last = eval_scan(params)
+            losses_val, maes_val, last = eval_scan(params)
             if pending is not None:
                 process_pending(pending)
                 pending = None
             for lv in np.asarray(losses_val):
                 vl_avg = beta * vl_avg + (1 - beta) * float(lv)
             loss_val = losses_val[-1]
+            maes_np = np.asarray(maes_val)
+            val_mae, val_mae_mean = float(maes_np[-1]), float(maes_np.mean())
 
         with open(logfilename, "a") as f:
             f.write(f"{epoch + 1} {vl_avg:.3e}\n")
         with open("val_err_mae.dat", "a") as f:
-            f.write(f"{epoch + 1} {float(val_mae):.3e}\n")
+            # col 2: last-batch MAE (reference format, train.py:57-59);
+            # col 3: mean MAE over the whole val pass
+            if host_data:
+                f.write(f"{epoch + 1} {float(val_mae):.3e}\n")
+            else:
+                f.write(f"{epoch + 1} {val_mae:.3e} {val_mae_mean:.3e}\n")
 
         if make_plots and (epoch + 1) % plot_every == 0:
             from ..utils import plots

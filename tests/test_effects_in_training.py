@@ -26,7 +26,10 @@ def _tiny_model(num_knobs):
 
 @pytest.mark.parametrize(
     "name", ["comp_4c", "comp", "comp_t", "comp_large", "comp_one",
-             "denoise", "lowpass", "echo", "decomp_4c"]
+             "denoise", "lowpass", "echo", "decomp_4c",
+             # the two with traced resampling / re-synthesis in the data path
+             # (VERDICT r1 weak #4): per-example traced n_steps / shift
+             "pitch", "timealign"]
 )
 def test_effect_in_fused_train_step(name):
     effect = effects.make_effect(name)

@@ -98,15 +98,15 @@ def test_checkpoint_roundtrip(tmp_path):
 def test_smoke_train_loss_decreases(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     effect = effects.Compressor_4c()
-    # tiny run: 2 epochs x 10 steps of batch 8 on the 8-device CPU mesh
+    # tiny run: 3 epochs x 10 steps of batch 8 on the 8-device CPU mesh
     model, params = train(
         effect,
-        epochs=2,
+        epochs=3,
         n_data_points=80,
         batch_size=8,
         lr_max=2e-4,
         compute_dtype=jnp.float32,
-        cp_every=2,
+        cp_every=3,
         plot_every=100,
         make_plots=False,
     )
@@ -114,16 +114,69 @@ def test_smoke_train_loss_decreases(tmp_path, monkeypatch):
     assert os.path.exists("val_err_mae.dat")
     assert os.path.exists("modelcheckpoint.tar")
     lines = open("vl_avg_out.dat").read().strip().splitlines()
-    assert len(lines) == 2
-    # EMA val loss after epoch 2 should exceed epoch 1's (EMA warms from 0),
-    # so instead check the raw losses logged are finite and training ran.
+    assert len(lines) == 3
     for ln in lines:
         ep, v = ln.split()
         assert np.isfinite(float(v))
 
+    # REAL decrease assertion: mean MAE over the (frozen, recycled) val set
+    # must drop from the first epoch to the last (col 3 of val_err_mae.dat;
+    # the EMA'd vl_avg warms from 0 so it can't be compared across epochs).
+    mae_lines = open("val_err_mae.dat").read().strip().splitlines()
+    mean_maes = [float(ln.split()[2]) for ln in mae_lines]
+    assert mean_maes[-1] < mean_maes[0], mean_maes
+
     # resume path: loading the checkpoint restores geometry + optimizer
     params2, rv = checkpoint.load_checkpoint("modelcheckpoint.tar")
-    assert "optax_state" in rv and rv["optax_step"] == 20
+    assert "optax_state" in rv and rv["optax_step"] == 30
+
+
+def test_resume_continuity_bitexact(tmp_path):
+    """Train 2 steps, checkpoint (params + optax state), resume in a fresh
+    model/optimizer, and run step 3 on both: the resumed trajectory must
+    match the uninterrupted one bit-for-bit. Pins restore_optax_state's
+    leaf-list wire format (VERDICT r1 weak #5)."""
+    from signaltrain_tpu.data import synth_data
+    from signaltrain_tpu.models.st_model import ModelSpec, STModel
+    from signaltrain_tpu.training import train as trainlib
+
+    spec = ModelSpec(
+        scale_factor=512 / 8192.0, shrink_factor=4.0, num_knobs=4, sr=44100,
+        in_chunk_size=512, out_chunk_size=128, ft_size=64, hop_size=24,
+        time_frames=25, output_time_frames=9,
+    )
+    effect = effects.Compressor_4c()
+    model = STModel(spec)
+    batch_fn = synth_data.make_synth_batch_fn(effect, 512, 128)
+    tx, _ = trainlib.make_optimizer(1e-4, 256, 2, 8)
+    step = trainlib.make_train_step(model, tx, batch_fn, 8)
+    key = jax.random.PRNGKey(3)
+
+    params = model.init(jax.random.PRNGKey(0))
+    opt_state = tx.init(params)
+    for i in range(2):
+        params, opt_state, _ = step(params, opt_state, jnp.asarray(i), key)
+
+    path = str(tmp_path / "resume.tar")
+    checkpoint.save_checkpoint(
+        path, jax.device_get(params), spec, effect, epoch=0,
+        optax_state=jax.device_get(opt_state), step=2,
+    )
+    params_cont, opt_cont, _ = step(params, opt_state, jnp.asarray(2), key)
+
+    # fresh everything, restore, take the same step 2
+    params_r, rv = checkpoint.load_checkpoint(path)
+    assert rv["optax_step"] == 2
+    tx2, _ = trainlib.make_optimizer(1e-4, 256, 2, 8)
+    opt_template = tx2.init(params_r)
+    opt_r = checkpoint.restore_optax_state(opt_template, rv["optax_state"])
+    step2 = trainlib.make_train_step(model, tx2, batch_fn, 8)
+    params_res, opt_res, _ = step2(params_r, opt_r, jnp.asarray(2), key)
+
+    for a, b in zip(jax.tree.leaves(params_cont), jax.tree.leaves(params_res)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(opt_cont), jax.tree.leaves(opt_res)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_orbax_checkpoint_roundtrip(tmp_path):
