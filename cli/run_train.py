@@ -72,14 +72,17 @@ def main():
         "--profile", default=None, metavar="DIR",
         help="capture a jax profiler trace of the run into DIR",
     )
+    parser.add_argument(
+        "--out-checkpoint", default=None, metavar="FILE",
+        help="where to save checkpoints (default: same as --checkpoint; the "
+        "reference hardcodes modelcheckpoint.tar, train.py:274)",
+    )
     args = parser.parse_args()
 
     print("Command line: ", " ".join(sys.argv[:]))
 
-    import jax.numpy as jnp
-
+    from signaltrain_tpu.config import RunConfig, train_from_config
     from signaltrain_tpu.dsp import effects as fx
-    from signaltrain_tpu.training import train as trainlib
     from signaltrain_tpu.utils.cache import enable_compilation_cache
 
     try:
@@ -108,7 +111,7 @@ def main():
     print("Running with args =", args)
     enable_compilation_cache()
 
-    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[args.dtype]
+    cfg = RunConfig.from_args(args)
 
     import contextlib
 
@@ -116,23 +119,7 @@ def main():
 
     ctx = profiling.trace(args.profile) if args.profile else contextlib.nullcontext()
     with ctx:
-        trainlib.train(
-            effect,
-            epochs=args.epochs,
-            n_data_points=args.num,
-            batch_size=args.batch,
-            sr=args.sr,
-            datapath=args.path,
-            scale_factor=args.scale,
-            shrink_factor=args.shrink,
-            target_type=args.target,
-            lr_max=args.lrmax,
-            in_checkpointname=args.checkpoint,
-            compand=args.compand,
-            compute_dtype=dtype,
-            seed=args.seed,
-            n_model=args.nmodel,
-        )
+        train_from_config(cfg, effect=effect)
     print("run_train.py: Execution completed.")
 
 

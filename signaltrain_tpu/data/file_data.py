@@ -17,12 +17,56 @@ from __future__ import annotations
 
 import glob
 import os
+import queue
+import threading
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from . import audio_io
+
+
+class _Prefetcher:
+    """Bounded producer thread: keeps n_slots batches in flight (sampled on
+    host, transfer already started) ahead of the consumer."""
+
+    def __init__(self, make_batch, n_slots: int = 2):
+        self._q: queue.Queue = queue.Queue(maxsize=n_slots)
+        self._stop = threading.Event()
+        self._make = make_batch
+        self._thread = threading.Thread(target=self._work, daemon=True)
+        self._thread.start()
+
+    def _work(self):
+        while not self._stop.is_set():
+            try:
+                item = self._make()
+            except Exception as e:  # surface in next() instead of dying silent
+                item = e
+            while not self._stop.is_set():
+                try:
+                    self._q.put(item, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
+            if isinstance(item, Exception):
+                return
+
+    def next(self):
+        item = self._q.get()
+        if isinstance(item, Exception):
+            raise item
+        return item
+
+    def close(self):
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=2.0)
 
 
 def mu_compand_np(y, mu: float = 32.0):
@@ -154,6 +198,19 @@ class FileDataset:
         return x, y, knobs
 
     # ----------------------------------------------------- host-RAM path
+
+    def prefetch_batches(self, batch_size: int, rng: np.random.Generator,
+                         n_slots: int = 2):
+        """Async double-buffered host sampling: a background thread crops the
+        next batch and starts its device transfer (jax.device_put is async)
+        while the current step computes — so at LA2A scale (21 GB, host-RAM
+        resident) the input pipeline overlaps the device step instead of
+        serializing with it (VERDICT r1 item 7; the reference leans on 10
+        DataLoader workers for the same reason, train.py:247-248)."""
+        return _Prefetcher(
+            lambda: jax.device_put(self.host_batch(batch_size, rng)),
+            n_slots=n_slots,
+        )
 
     def host_batch(self, batch_size: int, rng: np.random.Generator):
         """Numpy batch sampler for corpora too large for HBM."""

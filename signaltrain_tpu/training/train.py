@@ -468,12 +468,15 @@ def train(
             val_batch_fn = val_ds.batch_fn
 
     steps_per_epoch = max(1, n_data_points // batch_size)
+    prefetcher = None
     if host_data:
         train_step_arr = make_train_step_from_arrays(model, tx, mesh=mesh)
         eval_step_arr = make_eval_step_from_arrays(model, mesh=mesh)
         host_rng = np.random.default_rng(seed)
         val_rng_factory = lambda: np.random.default_rng(7)  # frozen val stream
         n_inner = 1
+        # async input pipeline: sample + device_put one batch ahead
+        prefetcher = train_ds.prefetch_batches(batch_size, host_rng)
     else:
         # Fuse up to 250 steps per device call (see pick_n_inner);
         # multi-device DP runs the fused scan inside shard_map.
@@ -523,7 +526,7 @@ def train(
         data_point = 0
         for _ in range(steps_per_epoch // n_inner):
             if host_data:
-                xb, yb, kb = train_ds.host_batch(batch_size, host_rng)
+                xb, yb, kb = prefetcher.next()
                 params, opt_state, l = train_step_arr(params, opt_state, xb, yb, kb)
                 losses = jnp.reshape(l, (1,))
             else:
@@ -603,6 +606,8 @@ def train(
                 f"on {time.ctime(future)}"
             )
 
+    if prefetcher is not None:
+        prefetcher.close()
     if pending is not None:
         process_pending(pending)
     print("\nTotal elapsed time for training loop =", time.time() - first_time)

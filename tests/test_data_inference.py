@@ -123,6 +123,28 @@ def test_file_dataset_host_path(tiny_dataset):
     assert x.shape == (4, 2048) and y.shape == (4, 512) and knobs.shape == (4, 4)
 
 
+def test_file_dataset_prefetcher_matches_sync(tiny_dataset):
+    """The async double-buffered pipeline yields the exact batch stream the
+    synchronous host_batch sampler produces (same rng, in order)."""
+    e = effects.Compressor_4c()
+    mk = lambda: file_data.FileDataset(
+        os.path.join(tiny_dataset, "Train"), e, chunk_size=2048, y_size=512,
+        device_resident_limit_bytes=1,
+    )
+    ds_a, ds_b = mk(), mk()
+    pf = ds_a.prefetch_batches(4, np.random.default_rng(0))
+    rng = np.random.default_rng(0)
+    try:
+        for _ in range(3):
+            xa, ya, ka = pf.next()
+            xb, yb, kb = ds_b.host_batch(4, rng)
+            np.testing.assert_array_equal(np.asarray(xa), xb)
+            np.testing.assert_array_equal(np.asarray(ya), yb)
+            np.testing.assert_array_equal(np.asarray(ka), kb)
+    finally:
+        pf.close()
+
+
 def test_predict_long_geometry():
     from signaltrain_tpu.inference import predict_long as pl
     from signaltrain_tpu.models.st_model import st_model
