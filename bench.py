@@ -13,6 +13,7 @@ train step. Baseline: the reference's published full run — 1000 epochs x
 """
 
 import json
+import os
 import sys
 import time
 
@@ -134,6 +135,31 @@ def main():
     dt_e2e = (time.perf_counter() - t0) / reps
     infer_e2e = (sig_len / spec.sr) / dt_e2e / n_chips
 
+    # BASELINE config 5: the large-window comp4c_4k model streaming a
+    # multi-minute music-like clip (the reference demo's Leadfoot role)
+    infer_4k = None
+    ckpt_4k = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "demo", "model_comp4c_4k.tar")
+    if os.path.exists(ckpt_4k):
+        from signaltrain_tpu.dsp import synths
+        from signaltrain_tpu.utils.load_model import load_model
+
+        model4k, params4k, rv4k = load_model(ckpt_4k, compute_dtype=jnp.bfloat16)
+        clip = synths.music_like_clip(180.0, sr=model4k.spec.sr)
+        knobs4k = np.array([-25.0, 4.0, 0.005, 0.02], np.float32)
+        kr = np.asarray(rv4k["knob_ranges"], np.float32)
+        knobs4k_nn = (knobs4k - kr[:, 0]) / (kr[:, 1] - kr[:, 0]) - 0.5
+        clip_dev = jax.device_put(jnp.asarray(clip))
+        y4 = pl.predict_long(clip_dev, knobs4k_nn, model4k, params4k,
+                             return_device=True)
+        y4.block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(3):
+            y4 = pl.predict_long(clip_dev, knobs4k_nn, model4k, params4k,
+                                 return_device=True)
+            y4.block_until_ready()
+        infer_4k = (clip.shape[0] / model4k.spec.sr) / ((time.perf_counter() - t0) / 3) / n_chips
+
     print(
         json.dumps(
             {
@@ -146,6 +172,11 @@ def main():
                 "batch800_audio_sec_per_sec": round(big_batch_value, 1),
                 "predict_long_audio_sec_per_sec": round(infer_value, 1),
                 "predict_long_e2e_pcm16_audio_sec_per_sec": round(infer_e2e, 1),
+                **(
+                    {"predict_long_4k_music_audio_sec_per_sec": round(infer_4k, 1)}
+                    if infer_4k is not None
+                    else {}
+                ),
             }
         )
     )

@@ -351,3 +351,69 @@ def choose_from(key, choices: Sequence[int]):
     """Uniformly pick a static chooser id from a set (datasets.py:317)."""
     idx = jax.random.randint(key, (), 0, len(choices))
     return jnp.asarray(list(choices))[idx]
+
+
+def music_like_clip(duration_s: float = 180.0, sr: int = 44100,
+                    seed: int = 0) -> "np.ndarray":
+    """Deterministic multi-minute music-like test signal — the role the
+    reference's demo Leadfoot clip plays for predict_long evaluation
+    (README.md:144, BASELINE config 5): a bass line, plucked pentatonic
+    melody with exponential decays, sustained chord pads and percussive
+    noise bursts on a 110 bpm grid. Pure numpy (host-side test asset, not
+    part of the device data path); peak-normalized to ~0.5.
+    """
+    import numpy as _np
+
+    rng = _np.random.default_rng(seed)
+    n = int(duration_s * sr)
+    t = _np.arange(n, dtype=_np.float64) / sr
+    out = _np.zeros(n, _np.float64)
+
+    beat = 60.0 / 110.0
+    penta = 220.0 * 2.0 ** (_np.array([0, 3, 5, 7, 10, 12]) / 12.0)
+
+    # bass: root notes per bar, slight detune chorus
+    bar = 4 * beat
+    for b in range(int(duration_s / bar) + 1):
+        f = float(penta[rng.integers(0, 3)]) / 2.0
+        s, e = int(b * bar * sr), min(int((b + 1) * bar * sr), n)
+        tt = t[s:e] - t[s] if e > s else None
+        if tt is None:
+            continue
+        env = _np.minimum(tt / 0.02, 1.0) * _np.exp(-tt / (bar * 0.9))
+        out[s:e] += 0.35 * env * (
+            _np.sin(2 * _np.pi * f * tt) + 0.3 * _np.sin(2 * _np.pi * 2.003 * f * tt)
+        )
+
+    # melody: plucked notes on eighth notes, random rests
+    eighth = beat / 2.0
+    for k in range(int(duration_s / eighth)):
+        if rng.random() < 0.35:
+            continue
+        f = float(penta[rng.integers(0, len(penta))])
+        s = int(k * eighth * sr)
+        dur = int(min(4 * eighth, duration_s - k * eighth) * sr)
+        if dur <= 0 or s >= n:
+            continue
+        tt = t[s : s + dur] - t[s]
+        pluck = _np.exp(-tt / 0.25) * (
+            _np.sin(2 * _np.pi * f * tt)
+            + 0.5 * _np.sin(2 * _np.pi * 2 * f * tt)
+            + 0.25 * _np.sin(2 * _np.pi * 3 * f * tt)
+        )
+        out[s : s + dur] += 0.25 * pluck
+
+    # percussion: noise bursts on beats (hat-like), heavier every 4th (kick-ish)
+    for k in range(int(duration_s / beat)):
+        s = int(k * beat * sr)
+        dur = min(int(0.05 * sr), n - s)
+        if dur <= 0:
+            continue
+        tt = t[s : s + dur] - t[s]
+        burst = rng.standard_normal(dur) * _np.exp(-tt / 0.008)
+        out[s : s + dur] += (0.22 if k % 4 == 0 else 0.08) * burst
+        if k % 4 == 0:  # kick: 60 Hz thump
+            out[s : s + dur] += 0.3 * _np.exp(-tt / 0.05) * _np.sin(2 * _np.pi * 60 * tt)
+
+    out = 0.5 * out / _np.max(_np.abs(out))
+    return out.astype(_np.float32)
