@@ -39,6 +39,9 @@ class DemoState:
         self.effect_name = effect_name
         self.effect = fx.make_effect(effect_name)
         ckpt = EFFECT_CHECKPOINTS[effect_name]
+        if not os.path.isabs(ckpt):  # relative names live next to this script
+            here = os.path.join(os.path.dirname(os.path.abspath(__file__)), ckpt)
+            ckpt = here if os.path.exists(here) else ckpt
         self.model, self.params, self.rv = load_model(ckpt)
         self.chunk = self.model.spec.in_chunk_size
         self.out_chunk = self.model.spec.out_chunk_size

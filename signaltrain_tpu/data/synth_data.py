@@ -68,8 +68,14 @@ def make_synth_batch_fn(
         )
 
     # loop-invariant precompute hook: callers that scan many steps in one
-    # device program build the cosine table once and pass it per step
-    gen_batch.make_invariants = lambda: synths._irfft_cos_matrix(chunk_size)
+    # device program build the cosine table once and pass it per step.
+    # bf16 storage: the table is 67 MB in f32 at chunk 8192, and several
+    # synth branches each stream it from HBM per step — halving it halves
+    # that traffic; noise shaping needs nowhere near f32 (the np.fft parity
+    # test builds its own f32 table at Precision.HIGHEST).
+    gen_batch.make_invariants = lambda: synths._irfft_cos_matrix(
+        chunk_size
+    ).astype(jnp.bfloat16)
     return gen_batch
 
 

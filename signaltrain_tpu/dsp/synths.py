@@ -94,9 +94,15 @@ def pinknoise(key, n: int, precision=None, cos_mat=None):
     n_f = n // 2 + 1
     noise = 2.0 * _u(key, (n_f,)) - 1.0
     s = jnp.sqrt(jnp.arange(n_f) + 1.0)
+    mat = cos_mat if cos_mat is not None else _irfft_cos_matrix(n)
+    shaped = noise / s
+    if mat.dtype == jnp.bfloat16:
+        # keep the GEMM natively bf16 x bf16 -> f32 (a mixed f32/bf16 dot
+        # would upcast the 67 MB table back to f32 in HBM)
+        shaped = shaped.astype(jnp.bfloat16)
     y_half = jnp.dot(
-        noise / s,
-        cos_mat if cos_mat is not None else _irfft_cos_matrix(n),
+        shaped,
+        mat,
         precision=precision,
         preferred_element_type=jnp.float32,
     )
