@@ -82,25 +82,28 @@ def main():
 
     # larger-batch throughput (the per-chip ceiling; the headline metric
     # stays at the reference's own batch=200 config for honesty)
-    B2 = 800
-    params2 = model.init(jax.random.PRNGKey(0))
-    tx2, _ = trainlib.make_optimizer(
-        lr_max=1e-4, n_data_points=200_000, epochs=1000, batch_size=B2
-    )
-    opt2 = tx2.init(params2)
-    step2 = trainlib.make_train_multi_step(model, tx2, batch_fn, B2, n_inner)
-    s = 0
-    for _ in range(5):
-        params2, opt2, l2 = step2(params2, opt2, jnp.asarray(s), key)
-        s += n_inner
-    jax.block_until_ready(l2)
-    t0 = time.perf_counter()
-    for _ in range(20):
-        params2, opt2, l2 = step2(params2, opt2, jnp.asarray(s), key)
-        s += n_inner
-    jax.block_until_ready(l2)
-    dt2 = (time.perf_counter() - t0) / (20 * n_inner)
-    big_batch_value = B2 * spec.out_chunk_size / spec.sr / dt2 / max(1, len(jax.devices()))
+    def big_batch(B2, iters=20):
+        params2 = model.init(jax.random.PRNGKey(0))
+        tx2, _ = trainlib.make_optimizer(
+            lr_max=1e-4, n_data_points=200_000, epochs=1000, batch_size=B2
+        )
+        opt2 = tx2.init(params2)
+        step2 = trainlib.make_train_multi_step(model, tx2, batch_fn, B2, n_inner)
+        s = 0
+        for _ in range(5):
+            params2, opt2, l2 = step2(params2, opt2, jnp.asarray(s), key)
+            s += n_inner
+        jax.block_until_ready(l2)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            params2, opt2, l2 = step2(params2, opt2, jnp.asarray(s), key)
+            s += n_inner
+        jax.block_until_ready(l2)
+        dt2 = (time.perf_counter() - t0) / (iters * n_inner)
+        return B2 * spec.out_chunk_size / spec.sr / dt2 / max(1, len(jax.devices()))
+
+    big_batch_value = big_batch(800)
+    batch1600_value = big_batch(1600, iters=10)
 
     # streaming long-audio inference throughput (predict_long, the second
     # half of the BASELINE metric): 60 s of audio through the chunked graph.
@@ -170,6 +173,7 @@ def main():
                 "step_ms": round(dt * 1e3, 2),
                 "final_loss": float(loss),
                 "batch800_audio_sec_per_sec": round(big_batch_value, 1),
+                "batch1600_audio_sec_per_sec": round(batch1600_value, 1),
                 "predict_long_audio_sec_per_sec": round(infer_value, 1),
                 "predict_long_e2e_pcm16_audio_sec_per_sec": round(infer_e2e, 1),
                 **(
