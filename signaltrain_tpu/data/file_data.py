@@ -143,8 +143,17 @@ class FileDataset:
             f"shortest is {int(self.lengths.min())}"
         )
         max_len = int(self.lengths.max())
-        total_bytes = 2 * len(xs) * max_len * 4
-        self.device_resident = total_bytes <= device_resident_limit_bytes
+        total_f32 = 2 * len(xs) * max_len * 4
+        total_i16 = 2 * len(xs) * max_len * 2
+        self.device_resident = total_f32 <= device_resident_limit_bytes
+        # int16 tier: audio corpora are natively 16-bit PCM, so storing them
+        # as int16 in HBM DOUBLES the device-resident capacity at zero
+        # fidelity cost (the dequantize-after-crop round-trips wav samples
+        # exactly). The 21 GB LA2A set is 10.5 GB this way — device-resident
+        # on a 16 GB chip instead of host-fed (BASELINE config 4).
+        self.device_resident_int16 = (
+            not self.device_resident and total_i16 <= device_resident_limit_bytes
+        )
         x_arr = np.zeros((len(xs), max_len), np.float32)
         y_arr = np.zeros((len(xs), max_len), np.float32)
         for i, (x, y) in enumerate(zip(xs, ys)):
@@ -154,14 +163,25 @@ class FileDataset:
         if self.device_resident:
             self.x = jnp.asarray(x_arr)
             self.y = jnp.asarray(y_arr)
-            self._lengths = jnp.asarray(self.lengths)
-            self._knobs = jnp.asarray(self.knobs_nn)
+        elif self.device_resident_int16:
+            print(
+                f"FileDataset: corpus ~{total_f32 / 1e9:.1f} GB as f32; "
+                f"storing int16 on device (~{total_i16 / 1e9:.1f} GB)"
+            )
+            to_i16 = lambda a: np.clip(np.round(a * 32767.0), -32768, 32767).astype(np.int16)
+            self.x = jnp.asarray(to_i16(x_arr))
+            self.y = jnp.asarray(to_i16(y_arr))
+            self.device_resident = True
         else:
             print(
-                f"FileDataset: corpus ~{total_bytes / 1e9:.1f} GB exceeds the "
-                "device budget; sampling on host"
+                f"FileDataset: corpus ~{total_f32 / 1e9:.1f} GB exceeds the "
+                "device budget even as int16; sampling on host"
             )
             self.x, self.y = x_arr, y_arr
+
+        if self.device_resident:
+            self._lengths = jnp.asarray(self.lengths)
+            self._knobs = jnp.asarray(self.knobs_nn)
 
         print("    ...finished preloading")
 
@@ -184,6 +204,9 @@ class FileDataset:
             )
             x_item = jax.lax.dynamic_slice(self.x[i], (start,), (chunk,))
             y_item = jax.lax.dynamic_slice(self.y[i], (start,), (chunk,))
+            if x_item.dtype == jnp.int16:  # int16-resident tier: dequantize
+                x_item = x_item.astype(jnp.float32) / 32767.0
+                y_item = y_item.astype(jnp.float32) / 32767.0
             return x_item, y_item, self._knobs[i], ka
 
         x, y, knobs, aug_keys = jax.vmap(sample_one)(keys)

@@ -29,6 +29,7 @@ import losslessly — but compute TPU-first:
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import flax.linen as nn
@@ -38,21 +39,64 @@ import jax.numpy as jnp
 from . import framing, windows
 
 
-def _gemm(a: jnp.ndarray, b: jnp.ndarray, compute_dtype) -> jnp.ndarray:
-    """Front-end GEMM with explicit precision policy.
+def _precision(compute_dtype):
+    # float32 mode requests full-precision MXU passes (JAX's default matmul
+    # precision silently decomposes to bfloat16 passes, ~4e-3 error on these
+    # transforms); bfloat16 mode uses the native single pass.
+    return jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32 else None
 
-    In float32 mode we request full-precision MXU passes (otherwise JAX's
-    default matmul precision silently decomposes to bfloat16 passes, ~4e-3
-    error on these transforms). In bfloat16 mode the operands are already
-    bf16 and accumulate in fp32 via preferred_element_type.
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _gemm(a: jnp.ndarray, b: jnp.ndarray, compute_dtype) -> jnp.ndarray:
+    """Front-end GEMM with an explicit precision policy AND an explicit
+    backward pass.
+
+    Forward: cast to compute_dtype, one MXU GEMM, fp32 accumulation.
+
+    Backward: residuals are the already-cast bf16 operands and the cotangent
+    feeds the gradient GEMMs in bf16 (fp32 accumulation). Profiling showed
+    current XLA already makes exactly these choices for the plain formulation
+    (byte-identical HLO stats) — the custom VJP PINS the policy so a compiler
+    or jax upgrade cannot silently regress the gradient GEMMs to f32
+    residuals/passes, which would double their HBM traffic (they sit at the
+    HBM roofline, ~300-550 GiB/s, >half of step time). In float32 mode the
+    residuals are f32 and numerics are unchanged.
+
+    a: (..., K) activations (2-D or 3-D with leading batch dims); b: (K, N)
+    weight. Gradients are returned in f32 (the parameter dtype).
     """
-    precision = jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32 else None
     return jnp.dot(
         a.astype(compute_dtype),
         b.astype(compute_dtype),
-        precision=precision,
+        precision=_precision(compute_dtype),
         preferred_element_type=jnp.float32,
     )
+
+
+def _gemm_fwd(a, b, compute_dtype):
+    ac = a.astype(compute_dtype)
+    bc = b.astype(compute_dtype)
+    out = jnp.dot(
+        ac, bc, precision=_precision(compute_dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return out, (ac, bc)
+
+
+def _gemm_bwd(compute_dtype, res, g):
+    ac, bc = res
+    prec = _precision(compute_dtype)
+    gc = g.astype(compute_dtype)
+    da = jnp.dot(gc, bc.T, precision=prec, preferred_element_type=jnp.float32)
+    batch_axes = tuple(range(ac.ndim - 1))
+    db = jnp.tensordot(
+        ac, gc, axes=(batch_axes, batch_axes),
+        precision=prec, preferred_element_type=jnp.float32,
+    )
+    return da.astype(jnp.float32), db.astype(jnp.float32)
+
+
+_gemm.defvjp(_gemm_fwd, _gemm_bwd)
 
 
 def _as_init(arr):

@@ -123,6 +123,46 @@ def test_file_dataset_host_path(tiny_dataset):
     assert x.shape == (4, 2048) and y.shape == (4, 512) and knobs.shape == (4, 4)
 
 
+def test_file_dataset_int16_tier_exact(tmp_path):
+    """The int16-resident tier (doubles HBM capacity; the 21 GB LA2A corpus
+    fits a 16 GB chip this way) must reproduce 16-bit wav samples EXACTLY
+    after the on-device dequantize."""
+    import os as _os
+    from scipy.io import wavfile
+
+    rng = np.random.default_rng(3)
+    d = tmp_path / "Train"
+    _os.makedirs(d)
+    for i in range(3):
+        x = rng.integers(-32768, 32767, size=4000).astype(np.int16)
+        y = (x // 2).astype(np.int16)
+        wavfile.write(str(d / f"input_{i}_.wav"), 44100, x)
+        wavfile.write(str(d / f"target_{i}_Fx__-15.0.wav"), 44100, y)
+
+    e = effects.Comp_Just_Thresh()
+    kw = dict(chunk_size=512, y_size=512, augment=False)
+    ds_f32 = file_data.FileDataset(str(d), e, **kw)
+    bytes_f32 = 2 * 3 * 4000 * 4
+    ds_i16 = file_data.FileDataset(
+        str(d), e, device_resident_limit_bytes=bytes_f32 - 1, **kw
+    )
+    assert ds_f32.device_resident and not ds_f32.device_resident_int16
+    assert ds_i16.device_resident and ds_i16.device_resident_int16
+    assert ds_i16.x.dtype == jnp.int16
+
+    keys = jax.random.split(jax.random.PRNGKey(5), 6)
+    xa, ya, ka = jax.jit(ds_f32.batch_fn)(keys)
+    xb, yb, kb = jax.jit(ds_i16.batch_fn)(keys)
+    # the dequantized floats agree to ~1 ulp (XLA lowers /32767 as a
+    # reciprocal multiply); the 16-bit CONTENT round-trips exactly:
+    for a, b in ((xa, xb), (ya, yb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-7)
+        np.testing.assert_array_equal(
+            np.round(np.asarray(a) * 32767.0), np.round(np.asarray(b) * 32767.0)
+        )
+    np.testing.assert_array_equal(np.asarray(ka), np.asarray(kb))
+
+
 def test_file_dataset_prefetcher_matches_sync(tiny_dataset):
     """The async double-buffered pipeline yields the exact batch stream the
     synchronous host_batch sampler produces (same rng, in order)."""
