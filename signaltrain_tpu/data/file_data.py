@@ -187,27 +187,44 @@ class FileDataset:
 
     # ------------------------------------------------ device-resident path
 
-    def batch_fn(self, keys):
+    def jit_operands(self):
+        """The corpus arrays, to be passed INTO jitted steps as arguments.
+
+        Closing over multi-GB device arrays captures them as lowering-time
+        CONSTANTS — the compile request then carries the whole corpus (this
+        backend's remote compiler caps requests at ~200 MB, and XLA warns at
+        4 GB). Training/eval steps fetch these via the batch_fn's owner and
+        thread them through jit as runtime args instead."""
+        return (self.x, self.y, self._lengths, self._knobs)
+
+    def batch_fn(self, keys, operands=None):
         """Jittable batch sampler: keys (B, 2) -> (x, y, knobs). Random file
-        + random in-file crop per example (datasets.py:225-253)."""
+        + random in-file crop per example (datasets.py:225-253).
+
+        operands: optional (x, y, lengths, knobs) as passed through a jit
+        boundary (see jit_operands); defaults to the closed-over arrays."""
         if not self.device_resident:
             raise RuntimeError("corpus is host-resident; use host_batches()")
 
         chunk, y_size = self.chunk_size, self.y_size
+        xs_arr, ys_arr, lengths, knobs_arr = (
+            operands if operands is not None
+            else (self.x, self.y, self._lengths, self._knobs)
+        )
 
         def sample_one(key):
             kf, kc, ka = jax.random.split(key, 3)
-            i = jax.random.randint(kf, (), 0, self.x.shape[0])
-            limit = self._lengths[i] - chunk
+            i = jax.random.randint(kf, (), 0, xs_arr.shape[0])
+            limit = lengths[i] - chunk
             start = jnp.minimum(
                 (jax.random.uniform(kc) * limit).astype(jnp.int32), limit - 1
             )
-            x_item = jax.lax.dynamic_slice(self.x[i], (start,), (chunk,))
-            y_item = jax.lax.dynamic_slice(self.y[i], (start,), (chunk,))
+            x_item = jax.lax.dynamic_slice(xs_arr[i], (start,), (chunk,))
+            y_item = jax.lax.dynamic_slice(ys_arr[i], (start,), (chunk,))
             if x_item.dtype == jnp.int16:  # int16-resident tier: dequantize
                 x_item = x_item.astype(jnp.float32) / 32767.0
                 y_item = y_item.astype(jnp.float32) / 32767.0
-            return x_item, y_item, self._knobs[i], ka
+            return x_item, y_item, knobs_arr[i], ka
 
         x, y, knobs, aug_keys = jax.vmap(sample_one)(keys)
         if self.rerun:  # re-run the effect per chunk (causality hack)

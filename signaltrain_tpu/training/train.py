@@ -54,6 +54,16 @@ def clip_frontend_grads(grads, max_norm: float = 1.0):
     return {"params": new}
 
 
+def _operands_fn(batch_fn):
+    """Large-corpus escape hatch: if the batch sampler's owner exposes
+    jit_operands() (FileDataset), the corpus arrays are passed INTO the
+    jitted step as runtime arguments instead of being captured as
+    lowering-time constants (a multi-GB corpus would otherwise ship inside
+    the remote compile request — hard ~200 MB cap on this backend)."""
+    owner = getattr(batch_fn, "__self__", None)
+    return getattr(owner, "jit_operands", None)
+
+
 def make_optimizer(lr_max, n_data_points, epochs, batch_size):
     """Adam (torch defaults, weight_decay=0, train.py:228) driven by the
     closed-form 1cycle schedule."""
@@ -120,10 +130,14 @@ def make_train_step(model: STModel, tx, batch_fn, batch_size, mesh=None,
         return jax.jit(step_fn, donate_argnums=(0, 1))
 
     dsh = meshlib.data_sharding(mesh) if mesh is not None else None
+    ops_fn = _operands_fn(batch_fn)
 
-    def step_fn(params, opt_state, step, base_key):
+    def step_fn(params, opt_state, step, base_key, operands):
         keys = synth_data.batch_keys(base_key, step, batch_size)
-        x, y, knobs = batch_fn(keys)
+        x, y, knobs = (
+            batch_fn(keys, operands=operands) if operands is not None
+            else batch_fn(keys)
+        )
         if dsh is not None:
             x, y, knobs = (
                 jax.lax.with_sharding_constraint(a, dsh) for a in (x, y, knobs)
@@ -134,7 +148,10 @@ def make_train_step(model: STModel, tx, batch_fn, batch_size, mesh=None,
         params = optax.apply_updates(params, updates)
         return params, opt_state, l
 
-    return jax.jit(step_fn, donate_argnums=(0, 1))
+    jitted = jax.jit(step_fn, donate_argnums=(0, 1))
+    if ops_fn is None:
+        return lambda p, o, s, k: jitted(p, o, s, k, None)
+    return lambda p, o, s, k: jitted(p, o, s, k, ops_fn())
 
 
 def make_train_multi_step(model: STModel, tx, batch_fn, batch_size,
@@ -211,13 +228,20 @@ def make_train_multi_step(model: STModel, tx, batch_fn, batch_size,
         )
         return jax.jit(fn, donate_argnums=(0, 1))
 
-    def multi_step(params, opt_state, step0, base_key):
+    ops_fn = _operands_fn(batch_fn)
+
+    def multi_step(params, opt_state, step0, base_key, operands):
         inv = inv_fn() if inv_fn is not None else None
 
         def body(carry, i):
             params, opt_state = carry
             keys = synth_data.batch_keys(base_key, step0 + i, batch_size)
-            x, y, knobs = batch_fn(keys, inv) if inv is not None else batch_fn(keys)
+            if operands is not None:
+                x, y, knobs = batch_fn(keys, operands=operands)
+            elif inv is not None:
+                x, y, knobs = batch_fn(keys, inv)
+            else:
+                x, y, knobs = batch_fn(keys)
             if dsh is not None:
                 x, y, knobs = (
                     jax.lax.with_sharding_constraint(a, dsh) for a in (x, y, knobs)
@@ -233,7 +257,10 @@ def make_train_multi_step(model: STModel, tx, batch_fn, batch_size,
         )
         return params, opt_state, losses
 
-    return jax.jit(multi_step, donate_argnums=(0, 1))
+    jitted = jax.jit(multi_step, donate_argnums=(0, 1))
+    if ops_fn is None:
+        return lambda p, o, s, k: jitted(p, o, s, k, None)
+    return lambda p, o, s, k: jitted(p, o, s, k, ops_fn())
 
 
 def pick_n_inner(steps_per_epoch: int, status_every: int, cap: int = 250) -> int:
@@ -323,15 +350,19 @@ def make_eval_scan(model: STModel, val_batch_fn, batch_size, n_val_steps: int,
 
     spec = model.spec
     inv_fn = getattr(val_batch_fn, "make_invariants", None)
+    ops_fn = _operands_fn(val_batch_fn)
 
-    def eval_all(params):
+    def eval_all(params, operands):
         inv = inv_fn() if inv_fn is not None else None
 
         def body(carry, step):
             keys = synth_data.val_step_keys(val_seed, step, batch_size)
-            x, y, knobs = (
-                val_batch_fn(keys, inv) if inv is not None else val_batch_fn(keys)
-            )
+            if operands is not None:
+                x, y, knobs = val_batch_fn(keys, operands=operands)
+            elif inv is not None:
+                x, y, knobs = val_batch_fn(keys, inv)
+            else:
+                x, y, knobs = val_batch_fn(keys)
             if dsh is not None:
                 x, y, knobs = (
                     jax.lax.with_sharding_constraint(a, dsh) for a in (x, y, knobs)
@@ -357,7 +388,10 @@ def make_eval_scan(model: STModel, val_batch_fn, batch_size, n_val_steps: int,
         # behavior, train.py:57-59) AND the whole-val-pass mean
         return losses, maes, last
 
-    return jax.jit(eval_all)
+    jitted = jax.jit(eval_all)
+    if ops_fn is None:
+        return lambda p: jitted(p, None)
+    return lambda p: jitted(p, ops_fn())
 
 
 def train(
