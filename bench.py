@@ -121,21 +121,27 @@ def main():
     sig = (0.4 * np.sin(2 * np.pi * 220.0 * t)).astype(np.float32)
     knobs = np.zeros(spec.num_knobs, np.float32)
     sig_dev = jax.device_put(jnp.asarray(sig))
-    y = pl.predict_long(sig_dev, knobs, model, params, return_device=True)
-    y.block_until_ready()  # compile
-    reps = 5
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        y = pl.predict_long(sig_dev, knobs, model, params, return_device=True)
-        y.block_until_ready()
-    dt_inf = (time.perf_counter() - t0) / reps
+
+    def median_time(fn, reps=7):
+        # median over reps: the host<->device relay has multi-ms hiccups that
+        # swing a mean by +-50%; the median reflects steady-state throughput
+        fn()  # compile / warm
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[len(ts) // 2]
+
+    def run_dev():
+        pl.predict_long(sig_dev, knobs, model, params, return_device=True).block_until_ready()
+
+    dt_inf = median_time(run_dev)
     infer_value = (sig_len / spec.sr) / dt_inf / n_chips
 
-    _ = pl.predict_long(sig_dev, knobs, model, params, out_dtype="int16")
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        _ = pl.predict_long(sig_dev, knobs, model, params, out_dtype="int16")
-    dt_e2e = (time.perf_counter() - t0) / reps
+    dt_e2e = median_time(
+        lambda: pl.predict_long(sig_dev, knobs, model, params, out_dtype="int16")
+    )
     infer_e2e = (sig_len / spec.sr) / dt_e2e / n_chips
 
     # BASELINE config 5: the large-window comp4c_4k model streaming a
@@ -153,15 +159,14 @@ def main():
         kr = np.asarray(rv4k["knob_ranges"], np.float32)
         knobs4k_nn = (knobs4k - kr[:, 0]) / (kr[:, 1] - kr[:, 0]) - 0.5
         clip_dev = jax.device_put(jnp.asarray(clip))
-        y4 = pl.predict_long(clip_dev, knobs4k_nn, model4k, params4k,
-                             return_device=True)
-        y4.block_until_ready()
-        t0 = time.perf_counter()
-        for _ in range(3):
-            y4 = pl.predict_long(clip_dev, knobs4k_nn, model4k, params4k,
-                                 return_device=True)
-            y4.block_until_ready()
-        infer_4k = (clip.shape[0] / model4k.spec.sr) / ((time.perf_counter() - t0) / 3) / n_chips
+
+        def run_4k():
+            pl.predict_long(
+                clip_dev, knobs4k_nn, model4k, params4k, return_device=True
+            ).block_until_ready()
+
+        dt_4k = median_time(run_4k, reps=5)
+        infer_4k = (clip.shape[0] / model4k.spec.sr) / dt_4k / n_chips
 
     print(
         json.dumps(
