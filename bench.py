@@ -133,12 +133,25 @@ def main():
             ts.append(time.perf_counter() - t0)
         return sorted(ts)[len(ts) // 2]
 
-    def run_dev():
-        pl.predict_long(sig_dev, knobs, model, params, return_device=True).block_until_ready()
+    def pipelined_time(launch, reps=10):
+        # streaming throughput: launch reps clips back-to-back (async
+        # dispatch, device queue serializes the compute) and sync ONCE —
+        # a per-rep block would bill one full relay RTT (~10-100 ms here)
+        # against every clip, which is dispatch latency, not throughput.
+        launch().block_until_ready()  # compile / warm
+        t0 = time.perf_counter()
+        y = None
+        for _ in range(reps):
+            y = launch()
+        y.block_until_ready()
+        return (time.perf_counter() - t0) / reps
 
-    dt_inf = median_time(run_dev)
+    dt_inf = pipelined_time(
+        lambda: pl.predict_long(sig_dev, knobs, model, params, return_device=True)
+    )
     infer_value = (sig_len / spec.sr) / dt_inf / n_chips
 
+    # end-to-end including the host pull is genuinely link-bound per clip
     dt_e2e = median_time(
         lambda: pl.predict_long(sig_dev, knobs, model, params, out_dtype="int16")
     )
@@ -159,13 +172,12 @@ def main():
         kr = np.asarray(rv4k["knob_ranges"], np.float32)
         knobs4k_nn = (knobs4k - kr[:, 0]) / (kr[:, 1] - kr[:, 0]) - 0.5
         clip_dev = jax.device_put(jnp.asarray(clip))
-
-        def run_4k():
-            pl.predict_long(
+        dt_4k = pipelined_time(
+            lambda: pl.predict_long(
                 clip_dev, knobs4k_nn, model4k, params4k, return_device=True
-            ).block_until_ready()
-
-        dt_4k = median_time(run_4k, reps=5)
+            ),
+            reps=5,
+        )
         infer_4k = (clip.shape[0] / model4k.spec.sr) / dt_4k / n_chips
 
     print(
