@@ -45,52 +45,68 @@ from jax.experimental.custom_partitioning import custom_partitioning
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 LANES = 128
-SUB = 8  # f32 sublanes per time step: an (8, 128) tile = 1024 batch slots
-GROUP = SUB * LANES
+_MAX_SUB = 8  # max f32 sublanes per time step: an (8, 128) tile = 1024 slots
 _UNROLL = 8
-_T_BLOCK = 512  # time steps per grid step (rows = 8*_T_BLOCK; fits VMEM)
+_T_BLOCK = 512  # time steps per grid step (rows = sub*_T_BLOCK; fits VMEM)
+
+
+def _pick_sub(b: int) -> int:
+    """Sublane groups per time step: the smallest power of two covering the
+    batch (so small-batch/huge-N calls — e.g. gen_dataset's 64 x 220k-sample
+    streams — don't pay an 8x pad in the relayout), capped at the full
+    (8, 128) tile. Powers of two keep the per-step row slices tile-aligned."""
+    sub = 1
+    while sub < _MAX_SUB and sub * LANES < b:
+        sub *= 2
+    return sub
 
 # Test hook: when True, the kernel runs in the Pallas interpreter so the REAL
 # kernel path (layout, grid, carry logic) is exercised on CPU-only hosts.
 FORCE_INTERPRET = False
 
 
-def _smoother_kernel(g_ref, aa_ref, ar_ref, out_ref, carry_ref):
-    # Caller zeroes g[:, 0], which makes the n=0 step produce exactly 0 from
-    # a zero carry — so the loop is uniform from n=0 (the reference leaves
-    # s[0]=0 and starts at n=1). Time steps are processed _UNROLL at a time
-    # to amortize loop and dynamic-index overhead; the dependent chain itself
-    # is irreducibly serial.
-    aa = aa_ref[...]  # (SUB, LANES)
-    ar = ar_ref[...]
+@functools.lru_cache(maxsize=8)
+def _make_kernel(sub: int):
+    def _smoother_kernel(g_ref, aa_ref, ar_ref, out_ref, carry_ref):
+        # Caller zeroes g[:, 0], which makes the n=0 step produce exactly 0
+        # from a zero carry — so the loop is uniform from n=0 (the reference
+        # leaves s[0]=0 and starts at n=1). Time steps are processed _UNROLL
+        # at a time to amortize loop and dynamic-index overhead; the
+        # dependent chain itself is irreducibly serial.
+        aa = aa_ref[...]  # (sub, LANES)
+        ar = ar_ref[...]
 
-    @pl.when(pl.program_id(1) == 0)
-    def _():
-        carry_ref[...] = jnp.zeros_like(aa)
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            carry_ref[...] = jnp.zeros_like(aa)
 
-    def body(i, prev):
-        base = i * (_UNROLL * SUB)
-        tile = g_ref[pl.ds(base, _UNROLL * SUB), :]
-        outs = []
-        for j in range(_UNROLL):
-            gn = tile[j * SUB : (j + 1) * SUB, :]
-            alpha = jnp.where(gn < prev, aa, ar)
-            prev = (1.0 - alpha) * gn + alpha * prev
-            outs.append(prev)
-        out_ref[pl.ds(base, _UNROLL * SUB), :] = jnp.concatenate(outs, axis=0)
-        return prev
+        def body(i, prev):
+            base = i * (_UNROLL * sub)
+            tile = g_ref[pl.ds(base, _UNROLL * sub), :]
+            outs = []
+            for j in range(_UNROLL):
+                gn = tile[j * sub : (j + 1) * sub, :]
+                alpha = jnp.where(gn < prev, aa, ar)
+                prev = (1.0 - alpha) * gn + alpha * prev
+                outs.append(prev)
+            out_ref[pl.ds(base, _UNROLL * sub), :] = jnp.concatenate(outs, axis=0)
+            return prev
 
-    final = jax.lax.fori_loop(
-        0, g_ref.shape[0] // (_UNROLL * SUB), body, carry_ref[...]
-    )
-    carry_ref[...] = final
+        final = jax.lax.fori_loop(
+            0, g_ref.shape[0] // (_UNROLL * sub), body, carry_ref[...]
+        )
+        carry_ref[...] = final
+
+    return _smoother_kernel
 
 
 def _smoother_local(g, alpha_a, alpha_r, interpret: bool):
     """Run the kernel on a (local) batch: pad/relayout, pallas_call, undo."""
     b, n = g.shape
-    nb = -(-b // GROUP)  # batch tiles of 8x128 = 1024 slots
-    b_pad = nb * GROUP
+    sub = _pick_sub(b)
+    group = sub * LANES
+    nb = -(-b // group)  # batch tiles of sub x 128 slots
+    b_pad = nb * group
     t_block = min(_T_BLOCK, -(-n // _UNROLL) * _UNROLL)
     n_pad = -(-n // t_block) * t_block
 
@@ -98,13 +114,13 @@ def _smoother_local(g, alpha_a, alpha_r, interpret: bool):
     # uniform-loop trick (see kernel comment): s[0] = 0 exactly
     g = jnp.concatenate([jnp.zeros((b, 1), jnp.float32), g[:, 1:]], axis=1)
     gp = jnp.zeros((b_pad, n_pad), jnp.float32).at[:b, :n].set(g)
-    # row t*SUB+s, lane-block i <- batch slot i*GROUP + s*LANES + l at time t
-    g4 = gp.reshape(nb, SUB, LANES, n_pad).transpose(3, 1, 0, 2)
-    gt = g4.reshape(n_pad * SUB, nb * LANES)
+    # row t*sub+s, lane-block i <- batch slot i*group + s*LANES + l at time t
+    g4 = gp.reshape(nb, sub, LANES, n_pad).transpose(3, 1, 0, 2)
+    gt = g4.reshape(n_pad * sub, nb * LANES)
 
     def vec_layout(v):
         vp = jnp.zeros((b_pad,), jnp.float32).at[:b].set(v.astype(jnp.float32))
-        return vp.reshape(nb, SUB, LANES).transpose(1, 0, 2).reshape(SUB, nb * LANES)
+        return vp.reshape(nb, sub, LANES).transpose(1, 0, 2).reshape(sub, nb * LANES)
 
     aa = vec_layout(alpha_a)
     ar = vec_layout(alpha_r)
@@ -120,28 +136,28 @@ def _smoother_local(g, alpha_a, alpha_r, interpret: bool):
         )
     except Exception:
         vma = frozenset()
-    out_shape = jax.ShapeDtypeStruct((n_pad * SUB, nb * LANES), jnp.float32, vma=vma)
+    out_shape = jax.ShapeDtypeStruct((n_pad * sub, nb * LANES), jnp.float32, vma=vma)
 
     grid = (nb, n_pad // t_block)  # time innermost: carry stays on-core
     out = pl.pallas_call(
-        _smoother_kernel,
+        _make_kernel(sub),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (t_block * SUB, LANES), lambda i, j: (j, i), memory_space=pltpu.VMEM
+                (t_block * sub, LANES), lambda i, j: (j, i), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((SUB, LANES), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUB, LANES), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub, LANES), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub, LANES), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (t_block * SUB, LANES), lambda i, j: (j, i), memory_space=pltpu.VMEM
+            (t_block * sub, LANES), lambda i, j: (j, i), memory_space=pltpu.VMEM
         ),
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((SUB, LANES), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((sub, LANES), jnp.float32)],
         interpret=interpret,
     )(gt, aa, ar)
 
-    s4 = out.reshape(n_pad, SUB, nb, LANES).transpose(2, 1, 3, 0)
+    s4 = out.reshape(n_pad, sub, nb, LANES).transpose(2, 1, 3, 0)
     return s4.reshape(b_pad, n_pad)[:b, :n]
 
 

@@ -24,6 +24,7 @@ val_data_*.png + spectrogram plots, checkpoint cadence, first-epoch ETA.
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import Any
 
@@ -148,9 +149,12 @@ def make_train_step(model: STModel, tx, batch_fn, batch_size, mesh=None,
         params = optax.apply_updates(params, updates)
         return params, opt_state, l
 
-    jitted = jax.jit(step_fn, donate_argnums=(0, 1))
     if ops_fn is None:
-        return lambda p, o, s, k: jitted(p, o, s, k, None)
+        # keep the plain jitted callable (introspectable: .lower etc.)
+        return jax.jit(
+            functools.partial(step_fn, operands=None), donate_argnums=(0, 1)
+        )
+    jitted = jax.jit(step_fn, donate_argnums=(0, 1))
     return lambda p, o, s, k: jitted(p, o, s, k, ops_fn())
 
 
@@ -257,9 +261,11 @@ def make_train_multi_step(model: STModel, tx, batch_fn, batch_size,
         )
         return params, opt_state, losses
 
-    jitted = jax.jit(multi_step, donate_argnums=(0, 1))
     if ops_fn is None:
-        return lambda p, o, s, k: jitted(p, o, s, k, None)
+        return jax.jit(
+            functools.partial(multi_step, operands=None), donate_argnums=(0, 1)
+        )
+    jitted = jax.jit(multi_step, donate_argnums=(0, 1))
     return lambda p, o, s, k: jitted(p, o, s, k, ops_fn())
 
 
@@ -388,9 +394,9 @@ def make_eval_scan(model: STModel, val_batch_fn, batch_size, n_val_steps: int,
         # behavior, train.py:57-59) AND the whole-val-pass mean
         return losses, maes, last
 
-    jitted = jax.jit(eval_all)
     if ops_fn is None:
-        return lambda p: jitted(p, None)
+        return jax.jit(functools.partial(eval_all, operands=None))
+    jitted = jax.jit(eval_all)
     return lambda p: jitted(p, ops_fn())
 
 
