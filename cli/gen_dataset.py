@@ -48,6 +48,11 @@ def main():
         help="files synthesized per device call",
     )
     parser.add_argument("--seed", type=int, default=1)
+    parser.add_argument(
+        "--pcm16", action="store_true",
+        help="write 16-bit PCM wavs (half the bytes; default float32 matches "
+        "the reference's output format)",
+    )
     args = parser.parse_args()
 
     if args.sp is None:
@@ -169,47 +174,85 @@ def gen_synth_data(args):
             kr[None, :, 1] - kr[None, :, 0]
         ) - 0.5
         y, x = effect.go_batch(x, knobs_nn, keys=keys)
+        if args.pcm16:  # device-side PCM conversion: half the bytes pulled
+            to16 = lambda a: (jnp.clip(a, -1.0, 1.0) * 32767.0).astype(jnp.int16)
+            return to16(x), to16(y)
         return x, y
 
     log_every = 100
     base_key = jax.random.PRNGKey(args.seed)
-    for b0 in range(0, num_outfiles, db):
+    pending = None  # (device_x, device_y, b0, bend): one batch in flight
+    batch_starts = list(range(0, num_outfiles, db))
+    for bi in range(len(batch_starts) + 1):
+        # dispatch batch bi (async) BEFORE pulling batch bi-1: device compute
+        # and the device->host transfer overlap the wav writing of the
+        # previous batch, which is what bounds throughput when the host link
+        # is slow (synthesis itself is ~ms per batch).
+        if bi < len(batch_starts) and infile_list is None:
+            b0 = batch_starts[bi]
+            bend = min(b0 + db, num_outfiles)
+            kw_batch = np.zeros((db, nk), np.float32)
+            kw_batch[: bend - b0] = np.asarray(all_knobs_wc[b0:bend], np.float32)
+            xd, yd = gen_device_batch(
+                jax.random.fold_in(base_key, b0), jnp.asarray(kw_batch)
+            )
+            new_pending = (xd, yd, b0, bend)
+        else:
+            new_pending = None
+
+        if pending is not None:
+            xd, yd, b0, bend = pending
+            x, y = np.asarray(xd), np.asarray(yd)
+            _write_pairs(args, effect, name, all_outpaths, all_knobs_wc,
+                         start_output_i, x, y, b0, bend, num_outfiles,
+                         log_every, sr)
+        pending = new_pending
+
+    for b0 in (batch_starts if infile_list is not None else []):
         bend = min(b0 + db, num_outfiles)
         kw_batch = np.zeros((db, nk), np.float32)
         kw_batch[: bend - b0] = np.asarray(all_knobs_wc[b0:bend], np.float32)
 
-        if infile_list is None:
-            x, y = gen_device_batch(jax.random.fold_in(base_key, b0), jnp.asarray(kw_batch))
-            x, y = np.asarray(x), np.asarray(y)
-        else:
-            # crop real audio on host, run the effect batched on device
-            xs = np.zeros((db, signal_length), np.float32)
-            for j, i in enumerate(range(b0, bend)):
-                sig, _ = audio_io.read_audio_file(
-                    all_inputs_from_file[i], sr=sr, warn=False
-                )
-                if signal_length >= len(sig):
-                    xs[j, : len(sig)] = sig
-                else:
-                    ri = np.random.randint(0, len(sig) - signal_length - 1 + 1)
-                    xs[j] = sig[ri : ri + signal_length]
-            kr = np.asarray(effect.knob_ranges)
-            knobs_nn = (kw_batch - kr[None, :, 0]) / (kr[None, :, 1] - kr[None, :, 0]) - 0.5
-            keys = jax.random.split(jax.random.fold_in(base_key, b0), db)
-            y, x = effect.go_batch(jnp.asarray(xs), jnp.asarray(knobs_nn), keys=keys)
-            x, y = np.asarray(x), np.asarray(y)
-
+        # crop real audio on host, run the effect batched on device
+        xs = np.zeros((db, signal_length), np.float32)
         for j, i in enumerate(range(b0, bend)):
-            out_idx = start_output_i + i
-            outpath = os.path.join(name, all_outpaths[i])
-            knobs_str = "".join("__%s" % v for v in all_knobs_wc[i])
-            fin = os.path.join(outpath, f"input_{out_idx}_.wav")
-            ftg = os.path.join(outpath, f"target_{out_idx}_{effect.name}{knobs_str}.wav")
-            if i % log_every == 0:
-                print(
-                    f"outfile_i = {i}/{num_outfiles}, outpath = {outpath}, "
-                    f"outfilename_input = {fin}, target = {ftg}"
-                )
+            sig, _ = audio_io.read_audio_file(
+                all_inputs_from_file[i], sr=sr, warn=False
+            )
+            if signal_length >= len(sig):
+                xs[j, : len(sig)] = sig
+            else:
+                ri = np.random.randint(0, len(sig) - signal_length - 1 + 1)
+                xs[j] = sig[ri : ri + signal_length]
+        kr = np.asarray(effect.knob_ranges)
+        knobs_nn = (kw_batch - kr[None, :, 0]) / (kr[None, :, 1] - kr[None, :, 0]) - 0.5
+        keys = jax.random.split(jax.random.fold_in(base_key, b0), db)
+        y, x = effect.go_batch(jnp.asarray(xs), jnp.asarray(knobs_nn), keys=keys)
+        x, y = np.asarray(x), np.asarray(y)
+        _write_pairs(args, effect, name, all_outpaths, all_knobs_wc,
+                     start_output_i, x, y, b0, bend, num_outfiles,
+                     log_every, sr)
+
+
+def _write_pairs(args, effect, name, all_outpaths, all_knobs_wc, start_output_i,
+                 x, y, b0, bend, num_outfiles, log_every, sr):
+    from signaltrain_tpu.data import audio_io
+
+    for j, i in enumerate(range(b0, bend)):
+        out_idx = start_output_i + i
+        outpath = os.path.join(name, all_outpaths[i])
+        knobs_str = "".join("__%s" % v for v in all_knobs_wc[i])
+        fin = os.path.join(outpath, f"input_{out_idx}_.wav")
+        ftg = os.path.join(outpath, f"target_{out_idx}_{effect.name}{knobs_str}.wav")
+        if i % log_every == 0:
+            print(
+                f"outfile_i = {i}/{num_outfiles}, outpath = {outpath}, "
+                f"outfilename_input = {fin}, target = {ftg}"
+            )
+        if x.dtype == np.int16:
+            audio_io.write_audio_file(fin, x[j], sr)
+            audio_io.write_audio_file(ftg, y[j], sr)
+        else:
             audio_io.write_audio_file(fin, x[j].astype(np.float32), sr)
             audio_io.write_audio_file(ftg, y[j].astype(np.float32), sr)
 
