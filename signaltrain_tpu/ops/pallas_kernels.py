@@ -50,14 +50,22 @@ _UNROLL = 8
 _T_BLOCK = 512  # time steps per grid step (rows = sub*_T_BLOCK; fits VMEM)
 
 
-def _pick_sub(b: int) -> int:
-    """Sublane groups per time step: the smallest power of two covering the
-    batch (so small-batch/huge-N calls — e.g. gen_dataset's 64 x 220k-sample
-    streams — don't pay an 8x pad in the relayout), capped at the full
-    (8, 128) tile. Powers of two keep the per-step row slices tile-aligned."""
+def _pick_sub(b: int, n: int) -> int:
+    """Sublane groups per time step (a power of two, keeping the per-step
+    row slices tile-aligned). Start from the smallest that covers the batch,
+    then widen toward the full (8, 128) tile while the padded relayout
+    buffer stays modest — wider tiles measured ~8% faster at training
+    shapes (batch 200 x 8192), but padding a small batch to 1024 slots on a
+    220k-sample gen_dataset stream would cost ~900 MB of intermediates."""
     sub = 1
     while sub < _MAX_SUB and sub * LANES < b:
         sub *= 2
+    while sub < _MAX_SUB:
+        wide = 2 * sub
+        nb = -(-b // (wide * LANES))
+        if n * wide * LANES * nb * 4 > 128 * 1024 * 1024:
+            break
+        sub = wide
     return sub
 
 # Test hook: when True, the kernel runs in the Pallas interpreter so the REAL
@@ -103,7 +111,7 @@ def _make_kernel(sub: int):
 def _smoother_local(g, alpha_a, alpha_r, interpret: bool):
     """Run the kernel on a (local) batch: pad/relayout, pallas_call, undo."""
     b, n = g.shape
-    sub = _pick_sub(b)
+    sub = _pick_sub(b, n)
     group = sub * LANES
     nb = -(-b // group)  # batch tiles of sub x 128 slots
     b_pad = nb * group
