@@ -123,6 +123,33 @@ def test_file_dataset_host_path(tiny_dataset):
     assert x.shape == (4, 2048) and y.shape == (4, 512) and knobs.shape == (4, 4)
 
 
+def test_gen_dataset_pcm16(tmp_path):
+    """--pcm16 writes 16-bit wavs whose content matches the float32 output
+    of the same seed to within one LSB, at half the bytes."""
+    for flag in ([], ["--pcm16"]):
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "cli", "gen_dataset.py"),
+             "f32" if not flag else "p16", "--dur", "0.2", "-n", "6",
+             "-e", "comp_4c", "--device-batch", "8"] + flag,
+            cwd=tmp_path, env=CPU_ENV, capture_output=True, text=True,
+            timeout=1200,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+    from scipy.io import wavfile
+
+    f32 = sorted(os.listdir(tmp_path / "f32" / "Train"))
+    p16 = sorted(os.listdir(tmp_path / "p16" / "Train"))
+    assert f32 == p16 and len(f32) >= 2
+    for name in f32[:4]:
+        _, a = wavfile.read(str(tmp_path / "f32" / "Train" / name))
+        _, b = wavfile.read(str(tmp_path / "p16" / "Train" / name))
+        assert a.dtype == np.float32 and b.dtype == np.int16
+        np.testing.assert_allclose(b / 32767.0, a, atol=1.01 / 32767.0)
+    size_f32 = os.path.getsize(str(tmp_path / "f32" / "Train" / f32[0]))
+    size_p16 = os.path.getsize(str(tmp_path / "p16" / "Train" / f32[0]))
+    assert size_p16 < 0.6 * size_f32
+
+
 def test_file_dataset_int16_tier_exact(tmp_path):
     """The int16-resident tier (doubles HBM capacity; the 21 GB LA2A corpus
     fits a 16 GB chip this way) must reproduce 16-bit wav samples EXACTLY
