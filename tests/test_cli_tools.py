@@ -125,6 +125,21 @@ def test_soxeffect_range_parser():
     assert toks[0] == pvals[0] and toks[2] == pvals[1]
 
 
+@pytest.mark.slow
+def test_viz_headless(tmp_path):
+    """viz.py renders the activation/weight collage headlessly to a PNG
+    (reference utils/viz.py needs a mic + display; --out works anywhere)."""
+    r = _run(
+        [os.path.join(REPO, "cli", "viz.py"),
+         os.path.join(REPO, "demo", "model_comp4c_4k.tar"),
+         "--knobs=-0.4,0.3,0.0,0.1", "--out", "viz.png"],
+        cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = tmp_path / "viz.png"
+    assert out.exists() and out.stat().st_size > 10000
+
+
 def test_ptsd2full_load_model():
     from signaltrain_tpu.utils.load_model import load_model
 
