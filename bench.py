@@ -72,9 +72,8 @@ def main():
     for _ in range(ITERS):
         params, opt_state, losses = step_fn(params, opt_state, jnp.asarray(step), key)
         step += n_inner
-    jax.block_until_ready(losses)
+    loss = float(losses[-1])  # data-dependent sync (see pipelined_time note)
     dt = (time.perf_counter() - t0) / (ITERS * n_inner)
-    loss = losses[-1]
 
     n_chips = max(1, len(jax.devices()))
     audio_sec_per_step = BATCH * spec.out_chunk_size / spec.sr
@@ -98,7 +97,7 @@ def main():
         for _ in range(iters):
             params2, opt2, l2 = step2(params2, opt2, jnp.asarray(s), key)
             s += n_inner
-        jax.block_until_ready(l2)
+        float(l2[-1])  # data-dependent sync
         dt2 = (time.perf_counter() - t0) / (iters * n_inner)
         return B2 * spec.out_chunk_size / spec.sr / dt2 / max(1, len(jax.devices()))
 
@@ -135,15 +134,18 @@ def main():
 
     def pipelined_time(launch, reps=10):
         # streaming throughput: launch reps clips back-to-back (async
-        # dispatch, device queue serializes the compute) and sync ONCE —
-        # a per-rep block would bill one full relay RTT (~10-100 ms here)
-        # against every clip, which is dispatch latency, not throughput.
-        launch().block_until_ready()  # compile / warm
+        # dispatch, device queue executes in order) and force completion
+        # ONCE at the end. The forced fetch must be a DATA-dependent scalar
+        # pull — on this backend block_until_ready can return before the
+        # computation has actually run, which silently turns a throughput
+        # number into a dispatch rate. A per-rep fetch would instead bill
+        # one full relay RTT against every clip (latency, not throughput).
+        float(jnp.sum(launch()))  # compile / warm
         t0 = time.perf_counter()
         y = None
         for _ in range(reps):
             y = launch()
-        y.block_until_ready()
+        float(jnp.sum(y))  # in-order device queue: forces all reps done
         return (time.perf_counter() - t0) / reps
 
     dt_inf = pipelined_time(

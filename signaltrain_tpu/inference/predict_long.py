@@ -35,7 +35,8 @@ import numpy as np
 from ..dsp.compressors import mu_compand
 from ..ops import framing
 
-_SUPER_BATCH = 1024  # windows per forward when lax.map batching kicks in
+_SUPER_BATCH = 1024   # windows per map step on very long signals
+_FUSED_MAX = 4096     # up to here: ONE batched forward, no map
 
 
 def predict_long(
@@ -106,12 +107,16 @@ def _num_windows(length: int, size: int, overlap: int) -> int:
 
 
 def _bucket(n_windows: int, mesh=None) -> int:
-    """Round the window count up to a compile bucket: the next power of two
-    below _SUPER_BATCH, multiples of _SUPER_BATCH above (one compiled graph
-    per ~47 s of extra audio instead of one per sample-length)."""
+    """Round the window count up to a compile bucket: powers of two up to
+    512, multiples of 256 up to _FUSED_MAX (a pow2 scheme padded a 60 s
+    clip's 1292 windows to 2048 — 58% wasted forward compute; 256-steps cap
+    the pad at ~20% for one compiled graph per ~12 s of audio), multiples of
+    _SUPER_BATCH beyond (the lax.map path needs that divisibility)."""
     n = max(16, int(n_windows))
-    if n <= _SUPER_BATCH:
+    if n <= 512:
         b = 1 << (n - 1).bit_length()
+    elif n <= _FUSED_MAX:
+        b = -(-n // 256) * 256
     else:
         b = -(-n // _SUPER_BATCH) * _SUPER_BATCH
     if mesh is not None:
@@ -152,7 +157,7 @@ def _predict_windows(
         y_hat, _, _ = model.module.apply(params, xi, kb)
         return y_hat
 
-    if n_bucket <= _SUPER_BATCH:
+    if n_bucket <= _FUSED_MAX:
         y = fwd(x)
     else:
         xb = x.reshape(n_bucket // _SUPER_BATCH, _SUPER_BATCH, chunk_size)
