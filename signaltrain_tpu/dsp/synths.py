@@ -22,6 +22,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = [
     "pinknoise", "randsine", "box", "expdecay", "pluck", "ampexpstepup",
@@ -83,6 +84,21 @@ def _irfft_cos_matrix(n: int):
     mat = mat.at[0, :].mul(0.5)
     mat = mat.at[-1, :].mul(0.5)
     return mat
+
+
+def irfft_cos_matrix_host(n: int):
+    """Host-side (numpy) twin of _irfft_cos_matrix, for callers running the
+    synth branches on CPU (gen_dataset's host backend): computing the table
+    in-graph is ~0.1 ms of VPU work on TPU but ~35 ms per call of scalar cos
+    on a host core — build it once here and pass via cos_mat instead.
+    int64 products need no modular split."""
+    nf = n // 2 + 1
+    k = np.arange(nf, dtype=np.int64)[:, None]
+    m = np.arange(nf, dtype=np.int64)[None, :]
+    mat = 2.0 * np.cos(2.0 * np.pi / n * ((k * m) % n)) / n
+    mat[0, :] *= 0.5
+    mat[-1, :] *= 0.5
+    return mat.astype(np.float32)
 
 
 def pinknoise(key, n: int, precision=None, cos_mat=None):

@@ -170,8 +170,17 @@ def _smoother_local(g, alpha_a, alpha_r, interpret: bool):
 
 
 def _batch_axis(arg_shapes):
-    """The mesh axis (or axes tuple) the (B, N) input is sharded over."""
-    spec = arg_shapes[0].sharding.spec
+    """The mesh axis (or axes tuple) the (B, N) input is sharded over.
+
+    Inside a shard_map manual region with auto axes (the round-3 unified
+    train path: 'data' manual, 'model' auto) GSPMD hands the callback a
+    GSPMDSharding with no named spec — return None, i.e. replicate over the
+    remaining auto axes: the batch is already device-local along 'data', and
+    redundantly smoothing it per 'model' shard costs ~nothing next to the
+    front-end GEMMs it feeds."""
+    spec = getattr(arg_shapes[0].sharding, "spec", None)
+    if spec is None:
+        return None
     return spec[0] if len(spec) >= 1 else None
 
 

@@ -76,182 +76,132 @@ def make_optimizer(lr_max, n_data_points, epochs, batch_size):
 
 
 def make_train_step(model: STModel, tx, batch_fn, batch_size, mesh=None,
-                    clip_max_norm: float = 1.0, use_shard_map: bool | None = None):
-    """Jitted fused train step.
+                    clip_max_norm: float = 1.0):
+    """Jitted fused train step — ONE parallelization path (round-3 collapse
+    of the round-2 GSPMD/shard_map duality, VERDICT r2 item 4):
 
-    Two parallelization strategies:
-    * GSPMD (default for a single chip or when the 'model' axis is used):
-      one jit with sharding constraints; XLA partitions and inserts
-      collectives. The Pallas envelope kernel is an opaque custom call to
-      GSPMD, so under real multi-chip DP it would be gathered/replicated.
-    * shard_map over 'data' (auto-selected for pure data parallelism on
-      multi-device meshes): each device runs the LOCAL step — synthesizing
-      exactly its batch shard, Pallas kernel included — and gradients pmean
-      over ICI. This is the scalable path (SURVEY.md §5).
+    shard_map over the mesh's 'data' axis. Each device runs the LOCAL step —
+    synthesizing exactly its batch shard (the stratified chooser permutation
+    stays device-local, so no cross-shard shuffle), Pallas envelope kernel
+    included — and gradients pmean over ICI. The 'model' axis, when >1, is
+    left as a GSPMD *auto* axis (jax.shard_map(axis_names={'data'})): the
+    front-end weights arrive sharded over 'model' and XLA partitions their
+    GEMMs inside the per-device body, inserting the TP collectives. On a
+    single chip the mesh is 1x1 and the wrapper lowers to the plain step.
     """
     n_bins = model.spec.ft_size // 2 + 1
     scale = loss_mod.freq_scale(n_bins)
-    if use_shard_map is None:
-        use_shard_map = (
-            mesh is not None
-            and mesh.shape["data"] > 1
-            and mesh.shape.get("model", 1) == 1
-        )
+    if mesh is None:
+        mesh = meshlib.make_mesh(n_model=1)
+    from jax.sharding import PartitionSpec as P
+
+    n_data = mesh.shape["data"]
+    assert batch_size % n_data == 0, (batch_size, n_data)
+    local_batch = batch_size // n_data
+    ops_fn = _operands_fn(batch_fn)
 
     def loss_fn(p, x, y, knobs):
         y_hat, _, mag_hat = model.module.apply(p, x, knobs)
         return loss_mod.calc_loss(y_hat, y, mag_hat, scale_by_freq=scale)
 
-    if use_shard_map:
-        from jax.sharding import PartitionSpec as P
-
-        n_data = mesh.shape["data"]
-        assert batch_size % n_data == 0, (batch_size, n_data)
-        local_batch = batch_size // n_data
-
-        def local_step(params, opt_state, step, base_key):
-            shard = jax.lax.axis_index("data")
-            key = jax.random.fold_in(jax.random.fold_in(base_key, step), shard)
-            keys = jax.random.split(key, local_batch)
-            x, y, knobs = batch_fn(keys)
-            l, grads = jax.value_and_grad(loss_fn)(params, x, y, knobs)
-            l = jax.lax.pmean(l, "data")
-            grads = jax.lax.pmean(grads, "data")
-            grads = clip_frontend_grads(grads, clip_max_norm)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return params, opt_state, l
-
-        step_fn = jax.shard_map(
-            local_step,
-            mesh=mesh,
-            in_specs=(P(), P(), P(), P()),
-            out_specs=(P(), P(), P()),
-            check_vma=False,
-        )
-        return jax.jit(step_fn, donate_argnums=(0, 1))
-
-    dsh = meshlib.data_sharding(mesh) if mesh is not None else None
-    ops_fn = _operands_fn(batch_fn)
-
-    def step_fn(params, opt_state, step, base_key, operands):
-        keys = synth_data.batch_keys(base_key, step, batch_size)
+    def local_step(params, opt_state, step, base_key, operands):
+        shard = jax.lax.axis_index("data")
+        key = jax.random.fold_in(jax.random.fold_in(base_key, step), shard)
+        keys = jax.random.split(key, local_batch)
         x, y, knobs = (
             batch_fn(keys, operands=operands) if operands is not None
             else batch_fn(keys)
         )
-        if dsh is not None:
-            x, y, knobs = (
-                jax.lax.with_sharding_constraint(a, dsh) for a in (x, y, knobs)
-            )
         l, grads = jax.value_and_grad(loss_fn)(params, x, y, knobs)
+        l = jax.lax.pmean(l, "data")
+        grads = jax.lax.pmean(grads, "data")
         grads = clip_frontend_grads(grads, clip_max_norm)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, l
 
+    # specs describe only the MANUAL ('data') axis: params/opt_state are
+    # data-replicated; their 'model' sharding rides the auto axis. operands
+    # (a device-resident file corpus) are replicated too — every chip
+    # samples its own crops from the full corpus.
+    # 'model' joins the manual region when unsharded (size 1): a size-1 auto
+    # axis would still route the Pallas kernel through GSPMD's
+    # custom-partitioning hook, which this jax version cannot unflatten
+    # inside a shard_map region. With model > 1 the axis stays auto so the
+    # front-end weight sharding partitions the GEMMs.
+    manual = (
+        frozenset({"data"}) if mesh.shape.get("model", 1) > 1
+        else frozenset({"data", "model"})
+    )
+    shard_kw = dict(mesh=mesh, axis_names=manual, check_vma=False)
     if ops_fn is None:
-        # keep the plain jitted callable (introspectable: .lower etc.)
-        return jax.jit(
-            functools.partial(step_fn, operands=None), donate_argnums=(0, 1)
+        step_fn = jax.shard_map(
+            lambda p, o, s, k: local_step(p, o, s, k, None),
+            in_specs=(P(), P(), P(), P()), out_specs=(P(), P(), P()),
+            **shard_kw,
         )
+        # keep the plain jitted callable (introspectable: .lower etc.)
+        return jax.jit(step_fn, donate_argnums=(0, 1))
+    step_fn = jax.shard_map(
+        local_step,
+        in_specs=(P(), P(), P(), P(), P()), out_specs=(P(), P(), P()),
+        **shard_kw,
+    )
     jitted = jax.jit(step_fn, donate_argnums=(0, 1))
     return lambda p, o, s, k: jitted(p, o, s, k, ops_fn())
 
 
 def make_train_multi_step(model: STModel, tx, batch_fn, batch_size,
-                          n_inner: int, mesh=None, clip_max_norm: float = 1.0,
-                          use_shard_map: bool | None = None):
+                          n_inner: int, mesh=None, clip_max_norm: float = 1.0):
     """n_inner fused train steps per device call (lax.scan over the step
     body). Host dispatch in this environment rides a network relay with
     multi-ms jitter; batching steps on device amortizes it away and is the
     natural XLA formulation of the inner loop. Returns
     fn(params, opt_state, step0, key) -> (params, opt_state, losses[n_inner]).
 
-    On a multi-device pure-DP mesh the whole fused scan runs inside
-    shard_map: each device synthesizes and trains on its batch shard
-    (Pallas kernel included), pmean-ing grads per inner step.
+    Parallelization is the same single path as make_train_step: the whole
+    fused scan runs inside shard_map over 'data' (per-device local datagen +
+    step, grads pmean'd per inner step), with the 'model' axis left to GSPMD
+    as an auto axis.
     """
     n_bins = model.spec.ft_size // 2 + 1
     scale = loss_mod.freq_scale(n_bins)
-    if use_shard_map is None:
-        use_shard_map = (
-            mesh is not None
-            and mesh.shape["data"] > 1
-            and mesh.shape.get("model", 1) == 1
-        )
-    dsh = (
-        meshlib.data_sharding(mesh) if (mesh is not None and not use_shard_map)
-        else None
-    )
+    if mesh is None:
+        mesh = meshlib.make_mesh(n_model=1)
+    from jax.sharding import PartitionSpec as P
+
+    n_data = mesh.shape["data"]
+    assert batch_size % n_data == 0, (batch_size, n_data)
+    local_batch = batch_size // n_data
 
     def loss_fn(p, x, y, knobs):
         y_hat, _, mag_hat = model.module.apply(p, x, knobs)
         return loss_mod.calc_loss(y_hat, y, mag_hat, scale_by_freq=scale)
 
     inv_fn = getattr(batch_fn, "make_invariants", None)
-
-    if use_shard_map:
-        from jax.sharding import PartitionSpec as P
-
-        n_data = mesh.shape["data"]
-        assert batch_size % n_data == 0, (batch_size, n_data)
-        local_batch = batch_size // n_data
-
-        def local_multi_step(params, opt_state, step0, base_key):
-            inv = inv_fn() if inv_fn is not None else None
-            shard = jax.lax.axis_index("data")
-
-            def body(carry, i):
-                params, opt_state = carry
-                key = jax.random.fold_in(
-                    jax.random.fold_in(base_key, step0 + i), shard
-                )
-                keys = jax.random.split(key, local_batch)
-                x, y, knobs = (
-                    batch_fn(keys, inv) if inv is not None else batch_fn(keys)
-                )
-                l, grads = jax.value_and_grad(loss_fn)(params, x, y, knobs)
-                l = jax.lax.pmean(l, "data")
-                grads = jax.lax.pmean(grads, "data")
-                grads = clip_frontend_grads(grads, clip_max_norm)
-                updates, opt_state = tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state), l
-
-            (params, opt_state), losses = jax.lax.scan(
-                body, (params, opt_state), jnp.arange(n_inner)
-            )
-            return params, opt_state, losses
-
-        fn = jax.shard_map(
-            local_multi_step,
-            mesh=mesh,
-            in_specs=(P(), P(), P(), P()),
-            out_specs=(P(), P(), P()),
-            check_vma=False,
-        )
-        return jax.jit(fn, donate_argnums=(0, 1))
-
     ops_fn = _operands_fn(batch_fn)
 
-    def multi_step(params, opt_state, step0, base_key, operands):
+    def local_multi_step(params, opt_state, step0, base_key, operands):
+        # loop-invariant precompute (pinknoise cosine table) built once
+        # per device call, NOT once per inner step
         inv = inv_fn() if inv_fn is not None else None
+        shard = jax.lax.axis_index("data")
 
         def body(carry, i):
             params, opt_state = carry
-            keys = synth_data.batch_keys(base_key, step0 + i, batch_size)
+            key = jax.random.fold_in(
+                jax.random.fold_in(base_key, step0 + i), shard
+            )
+            keys = jax.random.split(key, local_batch)
             if operands is not None:
                 x, y, knobs = batch_fn(keys, operands=operands)
             elif inv is not None:
                 x, y, knobs = batch_fn(keys, inv)
             else:
                 x, y, knobs = batch_fn(keys)
-            if dsh is not None:
-                x, y, knobs = (
-                    jax.lax.with_sharding_constraint(a, dsh) for a in (x, y, knobs)
-                )
             l, grads = jax.value_and_grad(loss_fn)(params, x, y, knobs)
+            l = jax.lax.pmean(l, "data")
+            grads = jax.lax.pmean(grads, "data")
             grads = clip_frontend_grads(grads, clip_max_norm)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -262,11 +212,29 @@ def make_train_multi_step(model: STModel, tx, batch_fn, batch_size,
         )
         return params, opt_state, losses
 
+    # 'model' joins the manual region when unsharded (size 1): a size-1 auto
+    # axis would still route the Pallas kernel through GSPMD's
+    # custom-partitioning hook, which this jax version cannot unflatten
+    # inside a shard_map region. With model > 1 the axis stays auto so the
+    # front-end weight sharding partitions the GEMMs.
+    manual = (
+        frozenset({"data"}) if mesh.shape.get("model", 1) > 1
+        else frozenset({"data", "model"})
+    )
+    shard_kw = dict(mesh=mesh, axis_names=manual, check_vma=False)
     if ops_fn is None:
-        return jax.jit(
-            functools.partial(multi_step, operands=None), donate_argnums=(0, 1)
+        fn = jax.shard_map(
+            lambda p, o, s, k: local_multi_step(p, o, s, k, None),
+            in_specs=(P(), P(), P(), P()), out_specs=(P(), P(), P()),
+            **shard_kw,
         )
-    jitted = jax.jit(multi_step, donate_argnums=(0, 1))
+        return jax.jit(fn, donate_argnums=(0, 1))
+    fn = jax.shard_map(
+        local_multi_step,
+        in_specs=(P(), P(), P(), P(), P()), out_specs=(P(), P(), P()),
+        **shard_kw,
+    )
+    jitted = jax.jit(fn, donate_argnums=(0, 1))
     return lambda p, o, s, k: jitted(p, o, s, k, ops_fn())
 
 

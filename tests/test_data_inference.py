@@ -123,6 +123,34 @@ def test_file_dataset_host_path(tiny_dataset):
     assert x.shape == (4, 2048) and y.shape == (4, 512) and knobs.shape == (4, 4)
 
 
+def test_gen_dataset_host_backend(tmp_path):
+    """--backend host (jax-on-CPU synthesis + native C++ compressor,
+    VERDICT r2 item 3): same layout/filename convention, and the written
+    target equals the JAX effect applied to the written input at the
+    filename's knobs (C++ kernel parity is pinned separately in
+    test_native_oracle.py)."""
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "cli", "gen_dataset.py"),
+         "hd", "--dur", "0.2", "-n", "6", "-e", "comp_4c",
+         "--device-batch", "4", "--backend", "host", "--workers", "1"],
+        cwd=tmp_path, env=CPU_ENV, capture_output=True, text=True, timeout=1200,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "host backend:" in out.stdout
+    ds = tmp_path / "hd" / "Train"
+    names = sorted(os.listdir(ds))
+    ins = [f for f in names if f.startswith("input")]
+    tgts = [f for f in names if f.startswith("target")]
+    assert len(ins) == len(tgts) >= 4
+    tname = [f for f in tgts if f.startswith("target_1_")][0]
+    x, _ = audio_io.read_audio_file(str(ds / "input_1_.wav"), warn=False)
+    y, _ = audio_io.read_audio_file(str(ds / tname), warn=False)
+    kw = file_data.parse_knob_string(tname)
+    e = effects.Compressor_4c()
+    y2, _ = e.go_wc(jnp.asarray(x), jnp.asarray(kw))
+    np.testing.assert_allclose(y, np.asarray(y2), atol=2e-4)
+
+
 def test_gen_dataset_pcm16(tmp_path):
     """--pcm16 writes 16-bit wavs whose content matches the float32 output
     of the same seed to within one LSB, at half the bytes."""

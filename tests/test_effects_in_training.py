@@ -57,9 +57,7 @@ def test_shard_map_step_runs_on_device_mesh():
     batch_fn = synth_data.make_synth_batch_fn(
         effect, TINY.in_chunk_size, TINY.out_chunk_size
     )
-    step = trainlib.make_train_step(
-        model, tx, batch_fn, 16, mesh=mesh, use_shard_map=True
-    )
+    step = trainlib.make_train_step(model, tx, batch_fn, 16, mesh=mesh)
     params, opt_state, loss = step(params, opt_state, jnp.asarray(0),
                                    jax.random.PRNGKey(1))
     assert np.isfinite(float(loss))
