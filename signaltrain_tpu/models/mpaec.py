@@ -14,6 +14,17 @@ Forward math reproduces the reference exactly (nn_proc.py:305-340):
 Mixed precision: the GEMMs (front-end + autoencoders) run in compute_dtype
 (bfloat16 on TPU); magnitude/phase trigonometry is precision-sensitive and is
 kept in float32 regardless (SURVEY.md §7 hard parts).
+
+Two compute paths over the SAME parameter tree (checkpoints interchangeable):
+
+* frontend="xla"    — the formulation above, batch-major (B, T, F) tensors.
+* frontend="pallas" — the fused Pallas front-end (ops/pallas_frontend.py):
+  framing + analysis GEMM + mag/phase fused into one VMEM-resident kernel,
+  trig + synthesis GEMM + overlap-add fused into another, autoencoders run
+  frame-major between them (no (B, F, T) slab transposes). Returns mag /
+  mag_hat FRAME-MAJOR ((T, B, F) / (OT, B, F)) — calc_loss is
+  layout-agnostic (training/loss.py), but return_acts consumers get the XLA
+  path regardless. Parity pinned by tests/test_model.py.
 """
 
 from __future__ import annotations
@@ -36,6 +47,7 @@ class AsymMPAEC(nn.Module):
     output_tf: int | None = None
     compute_dtype: Any = jnp.float32
     dropout_rate: float = 0.0
+    frontend: str = "xla"  # "xla" | "pallas" (fused kernels)
 
     def setup(self):
         out_tf = self.output_tf if self.output_tf is not None else self.expected_time_frames
@@ -70,6 +82,12 @@ class AsymMPAEC(nn.Module):
         return_acts: bool = False,
     ):
         """x: (B, in_chunk) waveform; knobs: (B, K) normalized to [-0.5, 0.5]."""
+        if (
+            self.frontend == "pallas"
+            and not return_acts
+            and self.dropout_rate == 0.0
+        ):
+            return self._fused(x, knobs)
         x_real, x_imag = self.dft_analysis(x / 2)
         # Magnitude/phase in fp32 (atan2 in low precision wrecks phase).
         re32, im32 = x_real.astype(jnp.float32), x_imag.astype(jnp.float32)
@@ -110,3 +128,16 @@ class AsymMPAEC(nn.Module):
             layer_acts.extend([mag_hat, phs_hat, an_real, an_imag, x_fwdsyn, y_hat])
             return 2 * y_hat, mag, mag_hat, layer_acts
         return 2 * y_hat, mag, mag_hat
+
+    def _fused(self, x: jnp.ndarray, knobs: jnp.ndarray):
+        """Fused Pallas path — same math as __call__ (the /2 input scaling is
+        folded into the analysis kernel; 2*(wave + x_tail/2) is expanded to
+        2*wave + x_tail). mag / mag_hat come back frame-major."""
+        mag, phs = self.dft_analysis.mag_phs(x)  # (T, B, half) f32 each
+        mag_hat = self.aenc.frame_major(mag, knobs, skip_connections="sf")
+        phs_hat = self.phs_aenc.frame_major(phs, knobs, skip_connections="")
+        ot = phs_hat.shape[0]
+        phs_hat = phs_hat + phs[-ot:]  # residual phase skip
+        wave = self.dft_synthesis.from_mag_phs(mag_hat, phs_hat)
+        y_hat = 2.0 * wave + x[:, -wave.shape[-1] :]
+        return y_hat, mag, mag_hat

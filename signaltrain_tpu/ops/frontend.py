@@ -114,25 +114,44 @@ class Analysis(nn.Module):
     Frame t covers padded-input samples [t*hop, t*hop+ft) with pad=ft of
     zeros on both sides, matching Conv1d(1, ft, ft, stride=hop, padding=ft)
     (cls_fe_dft.py:28-31,50-58).
+
+    Two compute paths over the SAME parameters (the tree is identical, so
+    checkpoints are interchangeable): __call__ is the XLA formulation;
+    mag_phs() is the fused Pallas kernel (ops/pallas_frontend.py) that folds
+    framing, the GEMM, the reference's /2 input scaling, and the magnitude /
+    phase math (nn_proc.py:307-310) into one VMEM-resident pass, emitting
+    frame-major (T, B, half) tensors.
     """
 
     ft_size: int = 1024
     hop_size: int = 384
     compute_dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        ft = self.ft_size
+        re0, im0 = windows.analysis_init(ft)
+        self.w_real = self.param("w_real", _as_init(re0), (ft, ft))
+        self.w_imag = self.param("w_imag", _as_init(im0), (ft, ft))
+
     def __call__(self, wave: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
         ft, hop = self.ft_size, self.hop_size
         half = ft // 2 + 1
-        re0, im0 = windows.analysis_init(ft)
-        w_real = self.param("w_real", _as_init(re0), (ft, ft))
-        w_imag = self.param("w_imag", _as_init(im0), (ft, ft))
-
         frames = framing.frame_signal(wave, ft, hop, pad=ft)
         # Stack the used rows of both matrices -> a single (ft, 2*half) GEMM.
-        w = jnp.concatenate([w_real[:half], w_imag[:half]], axis=0).T
+        w = jnp.concatenate([self.w_real[:half], self.w_imag[:half]], axis=0).T
         spec = _gemm(frames, w, self.compute_dtype)
         return spec[..., :half], spec[..., half:]
+
+    def mag_phs(self, wave: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Fused path: RAW (un-halved) signal (B, L) -> (mag, phs), each
+        (T, B, half) f32 frame-major. The kernel applies the x/2 trick."""
+        from . import pallas_frontend as pf
+
+        ft, hop = self.ft_size, self.hop_size
+        half = ft // 2 + 1
+        w = pf.stack_analysis_weights(self.w_real, self.w_imag, half)
+        xp = jnp.pad(wave, ((0, 0), (ft, ft)))
+        return pf.fused_analysis(xp, w, ft, hop, half, self.compute_dtype)
 
 
 class Synthesis(nn.Module):
@@ -147,25 +166,46 @@ class Synthesis(nn.Module):
     hop_size: int = 384
     compute_dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:
+    def setup(self):
         ft, hop = self.ft_size, self.hop_size
-        half = ft // 2 + 1
         re0, im0 = windows.synthesis_init(ft, hop)
-        w_real = self.param("w_real", _as_init(re0), (ft, ft))
-        w_imag = self.param("w_imag", _as_init(im0), (ft, ft))
+        self.w_real = self.param("w_real", _as_init(re0), (ft, ft))
+        self.w_imag = self.param("w_imag", _as_init(im0), (ft, ft))
 
+    def _folded_weights(self):
         # Fold the conjugate-symmetric mirror into the weights:
         # full-spectrum channel j in [513, 1024) carries bin c = ft - j with
         # re_full[j] = re[c], im_full[j] = -im[c]  (cls_fe_dft.py:109-110).
-        wr_eff = w_real[:half].at[1 : half - 1].add(jnp.flip(w_real[half:], axis=0))
-        wi_eff = w_imag[:half].at[1 : half - 1].add(-jnp.flip(w_imag[half:], axis=0))
+        half = self.ft_size // 2 + 1
+        wr = self.w_real[:half].at[1 : half - 1].add(
+            jnp.flip(self.w_real[half:], axis=0)
+        )
+        wi = self.w_imag[:half].at[1 : half - 1].add(
+            -jnp.flip(self.w_imag[half:], axis=0)
+        )
+        return wr, wi
 
+    def __call__(self, re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:
+        ft, hop = self.ft_size, self.hop_size
+        wr_eff, wi_eff = self._folded_weights()
         spec = jnp.concatenate([re, im], axis=-1)  # (B, OT, 2*half)
         w = jnp.concatenate([wr_eff, wi_eff], axis=0)  # (2*half, ft)
         frames = _gemm(spec, w, self.compute_dtype)
         wave = framing.overlap_add(frames, hop)
         return wave[:, ft:-ft]
+
+    def from_mag_phs(self, mag: jnp.ndarray, phs: jnp.ndarray) -> jnp.ndarray:
+        """Fused path: frame-major (OT, B, half) magnitude/phase -> trimmed
+        waveform (B, out_len). The kernel computes re/im = mag*cos/sin(phs)
+        (nn_proc.py:325-326) on the VPU, then GEMM + overlap-add + trim, all
+        VMEM-resident (ops/pallas_frontend.py)."""
+        from . import pallas_frontend as pf
+
+        ft, hop = self.ft_size, self.hop_size
+        half = ft // 2 + 1
+        wr_eff, wi_eff = self._folded_weights()
+        w = pf.stack_synthesis_weights(wr_eff, wi_eff, half)
+        return pf.fused_synthesis(mag, phs, w, ft, hop, half, self.compute_dtype)
 
 
 class FNNAnalysis(nn.Module):

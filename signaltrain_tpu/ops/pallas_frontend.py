@@ -53,6 +53,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
 
+# Scoped-VMEM budget for the fused kernels. Mosaic's 16 MB default is too
+# tight for the synthesis backward inside the full train step (block double
+# buffering pushes it to ~17.4 MB at batch 200); v5e has 128 MB of VMEM and
+# these kernels are the only resident stage while they run.
+_VMEM_LIMIT = 64 * 1024 * 1024
+
 
 def _roundup(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -70,6 +76,14 @@ def _vma(*args):
 
 # Set True to force the Pallas interpreter (CPU test environments).
 FORCE_INTERPRET = False
+
+# Gate for training/train._pick_train_module's frontend='auto': measured on
+# v5e (batch 800, 30x10 steps), the fused front-end alone is a net LOSS —
+# 9.36 vs 8.33 ms/step — because the kernels are VPU-bound (atan2 + sqrt
+# dominate their grid steps) while the XLA path's trig rides fused
+# elementwise chains. Flip to True once the fused-AE kernel lands and the
+# end-to-end Pallas path beats XLA (tracked in docs/ROUND3_NOTES.md).
+PALLAS_TRAIN_DEFAULT = False
 
 # Mosaic implements sin/cos/sqrt/rsqrt/exp/log but NOT atan/atan2 (probed on
 # v5e, jax 0.9); the analysis kernel needs atan2 for the phase, so it is
@@ -101,7 +115,44 @@ def _atan2(y, x):
 
 
 def _resolve_interpret(interpret):
-    return FORCE_INTERPRET if interpret is None else bool(interpret)
+    if interpret is None:
+        # auto: real Mosaic on TPU, interpreter elsewhere (CPU test envs)
+        return FORCE_INTERPRET or jax.default_backend() != "tpu"
+    return bool(interpret)
+
+
+def geometry_supported(ft: int, hop: int) -> bool:
+    """Mosaic constraint: the per-frame dynamic slice (start t*hop, width ft)
+    into the VMEM signal tile must be lane-aligned — start and width
+    multiples of 128 (probed on v5e: unaligned hop fails to compile with
+    "cannot statically prove that index in dimension 1 is a multiple of
+    128"). The flagship geometry (ft=1024, hop=384=3*128) qualifies; the
+    interpreter (CPU test envs) has no such constraint."""
+    if _resolve_interpret(None):
+        return True
+    return hop % LANES == 0 and ft % LANES == 0
+
+
+def _pick_bt(b: int, cap: int) -> int:
+    """Batch-tile size: smallest sublane-aligned tile that covers b in
+    ceil(b/cap) grid passes — minimizes phantom-row compute waste (batch 200
+    with a fixed 128 tile would compute 256 slots; 104x2 computes 208).
+    The batch axis is NOT padded on the host: Pallas masks the ragged last
+    tile (out-of-range output rows are clipped; kernels that accumulate
+    across tiles mask their inputs in-VMEM — see _row_mask)."""
+    nb = -(-b // cap)
+    return min(cap, _roundup(-(-b // nb), 8))
+
+
+def _row_mask(i, bt: int, b: int):
+    """(bt, 1) bool mask: True for rows of batch-tile i that map to real
+    batch indices (< b), False for the ragged tail. Out-of-range input-block
+    rows are Mosaic-padded with UNSPECIFIED values; any kernel whose
+    cross-tile accumulator (dw) would otherwise ingest them must zero them
+    via where(mask, x, 0) on BOTH GEMM operands — multiplication alone would
+    turn a padded NaN into NaN."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bt, 1), 0)
+    return rows < (b - i * bt)
 
 
 # ---------------------------------------------------------------------------
@@ -125,10 +176,11 @@ def _an_fwd_kernel(ft, hop, half, cw, compute_dtype):
     return kernel
 
 
-def _an_bwd_kernel(ft, hop, half, cw, compute_dtype):
+def _an_bwd_kernel(ft, hop, half, cw, b, bt, compute_dtype):
+    ragged = b % bt != 0
+
     def kernel(xp_ref, w_ref, dmag_ref, dphs_ref, dxp_ref, dw_ref):
         i, t = pl.program_id(0), pl.program_id(1)
-        bt = xp_ref.shape[0]
 
         @pl.when(t == 0)
         def _():
@@ -140,6 +192,10 @@ def _an_bwd_kernel(ft, hop, half, cw, compute_dtype):
 
         # recompute the forward spec for this frame (cheaper than storing it)
         frame_f32 = xp_ref[:, pl.ds(t * hop, ft)] * 0.5
+        if ragged:
+            # zero phantom rows of the ragged last tile so the dw
+            # accumulation below ingests exact zeros (see _row_mask)
+            frame_f32 = jnp.where(_row_mask(i, bt, b), frame_f32, 0.0)
         frame = frame_f32.astype(compute_dtype)
         spec = jnp.dot(frame, w_ref[...], preferred_element_type=jnp.float32)
         re, im = spec[:, :cw], spec[:, cw:]
@@ -162,6 +218,8 @@ def _an_bwd_kernel(ft, hop, half, cw, compute_dtype):
         d_im += dphs * rr * inv_r2
 
         dspec = jnp.concatenate([d_re, d_im], axis=1)  # (bt, 2cw) f32
+        if ragged:
+            dspec = jnp.where(_row_mask(i, bt, b), dspec, 0.0)
         dspec_c = dspec.astype(compute_dtype)
         # d frame = d_spec @ w.T ; chain the *0.5
         dframe = jax.lax.dot_general(
@@ -194,19 +252,20 @@ def fused_analysis(xp, w, ft, hop, half, compute_dtype, interpret=None):
 
 
 def _fused_analysis_fwd_impl(xp, w, ft, hop, half, compute_dtype, interpret,
-                             bt: int = 128):
+                             bt: int | None = None):
     interpret = _resolve_interpret(interpret)
     b, lp = xp.shape
     cw = w.shape[1] // 2
     t = (lp - ft) // hop + 1
+    bt = _pick_bt(b, 128) if bt is None else bt
     nb = -(-b // bt)
-    b_pad = nb * bt
-    if b_pad != b:
-        xp = jnp.pad(xp, ((0, b_pad - b), (0, 0)))
+    # No host-side batch pad: Pallas clips the ragged last output tile
+    # (traced at batch 800, the pads + copies around the kernels cost
+    # ~1.2 ms/step — more than the kernels saved).
     vma = _vma(xp, w)
     out_shape = [
-        jax.ShapeDtypeStruct((t, b_pad, half), jnp.float32, vma=vma),
-        jax.ShapeDtypeStruct((t, b_pad, half), jnp.float32, vma=vma),
+        jax.ShapeDtypeStruct((t, b, half), jnp.float32, vma=vma),
+        jax.ShapeDtypeStruct((t, b, half), jnp.float32, vma=vma),
     ]
     mag, phs = pl.pallas_call(
         _an_fwd_kernel(ft, hop, half, cw, compute_dtype),
@@ -223,8 +282,9 @@ def _fused_analysis_fwd_impl(xp, w, ft, hop, half, compute_dtype, interpret,
         ],
         out_shape=out_shape,
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
     )(xp, w.astype(compute_dtype))
-    return mag[:, :b], phs[:, :b]
+    return mag, phs
 
 
 def _fused_analysis_fwd(xp, w, ft, hop, half, compute_dtype, interpret):
@@ -237,23 +297,18 @@ def _fused_analysis_bwd(ft, hop, half, compute_dtype, interpret, res, g):
     xp, w = res
     dmag, dphs = g
     interpret = _resolve_interpret(interpret)
-    bt = 64  # smaller tiles: the bwd kernel holds dxp + dw f32 in VMEM
     b, lp = xp.shape
+    bt = _pick_bt(b, 128)
     cw = w.shape[1] // 2
     t = (lp - ft) // hop + 1
     nb = -(-b // bt)
-    b_pad = nb * bt
-    if b_pad != b:
-        xp = jnp.pad(xp, ((0, b_pad - b), (0, 0)))
-        dmag = jnp.pad(dmag, ((0, 0), (0, b_pad - b), (0, 0)))
-        dphs = jnp.pad(dphs, ((0, 0), (0, b_pad - b), (0, 0)))
     vma = _vma(xp, w, dmag, dphs)
     out_shape = [
-        jax.ShapeDtypeStruct((b_pad, lp), jnp.float32, vma=vma),
+        jax.ShapeDtypeStruct((b, lp), jnp.float32, vma=vma),
         jax.ShapeDtypeStruct(w.shape, jnp.float32, vma=vma),
     ]
     dxp, dw = pl.pallas_call(
-        _an_bwd_kernel(ft, hop, half, cw, compute_dtype),
+        _an_bwd_kernel(ft, hop, half, cw, b, bt, compute_dtype),
         grid=(nb, t),
         in_specs=[
             pl.BlockSpec((bt, lp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
@@ -269,8 +324,9 @@ def _fused_analysis_bwd(ft, hop, half, compute_dtype, interpret, res, g):
         ],
         out_shape=out_shape,
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
     )(xp, w.astype(compute_dtype), dmag, dphs)
-    return dxp[:b], dw.astype(jnp.float32)
+    return dxp, dw.astype(jnp.float32)
 
 
 fused_analysis.defvjp(_fused_analysis_fwd, _fused_analysis_bwd)
@@ -305,8 +361,9 @@ def _syn_fwd_kernel(ft, hop, half, cw, ot, compute_dtype):
     return kernel
 
 
-def _syn_bwd_kernel(ft, hop, half, cw, ot, compute_dtype):
+def _syn_bwd_kernel(ft, hop, half, cw, ot, b, bt, compute_dtype):
     la = (ot - 1) * hop + ft
+    ragged = b % bt != 0
 
     def kernel(mag_ref, phs_ref, w_ref, dout_ref, dmag_ref, dphs_ref, dw_ref,
                dacc_ref):
@@ -318,7 +375,11 @@ def _syn_bwd_kernel(ft, hop, half, cw, ot, compute_dtype):
 
         # adjoint of the trim: pad dout with ft zeros on both ends
         dacc_ref[...] = jnp.zeros_like(dacc_ref)
-        dacc_ref[:, ft : la - ft] = dout_ref[...]
+        dout = dout_ref[...]
+        if ragged:
+            # zero phantom rows so dw below ingests exact zeros (_row_mask)
+            dout = jnp.where(_row_mask(i, bt, b), dout, 0.0)
+        dacc_ref[:, ft : la - ft] = dout
         pad = cw - half
         for t in range(ot):
             dframe = dacc_ref[:, t * hop : t * hop + ft]
@@ -330,6 +391,12 @@ def _syn_bwd_kernel(ft, hop, half, cw, ot, compute_dtype):
             )  # (bt, 2cw)
             mag = mag_ref[t]
             phs = phs_ref[t]
+            if ragged:
+                # phantom-row mag/phs are unspecified; zero them so the dw
+                # GEMM sees 0*0 (dframe rows are already zeroed above)
+                m = _row_mask(i, bt, b)
+                mag = jnp.where(m, mag, 0.0)
+                phs = jnp.where(m, phs, 0.0)
             c, s = jnp.cos(phs), jnp.sin(phs)
             re = mag * c
             im = mag * s
@@ -363,17 +430,14 @@ def fused_synthesis(mag, phs, w, ft, hop, half, compute_dtype, interpret=None):
 
 
 def _fused_synthesis_fwd_impl(mag, phs, w, ft, hop, half, compute_dtype,
-                              interpret, bt: int = 128):
+                              interpret, bt: int | None = None):
     interpret = _resolve_interpret(interpret)
     ot, b, _ = mag.shape
     cw = w.shape[0] // 2
     la = (ot - 1) * hop + ft
     out_len = la - 2 * ft
+    bt = _pick_bt(b, 128) if bt is None else bt
     nb = -(-b // bt)
-    b_pad = nb * bt
-    if b_pad != b:
-        mag = jnp.pad(mag, ((0, 0), (0, b_pad - b), (0, 0)))
-        phs = jnp.pad(phs, ((0, 0), (0, b_pad - b), (0, 0)))
     vma = _vma(mag, phs, w)
     out = pl.pallas_call(
         _syn_fwd_kernel(ft, hop, half, cw, ot, compute_dtype),
@@ -387,11 +451,12 @@ def _fused_synthesis_fwd_impl(mag, phs, w, ft, hop, half, compute_dtype,
         ],
         out_specs=pl.BlockSpec((bt, out_len), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b_pad, out_len), jnp.float32, vma=vma),
+        out_shape=jax.ShapeDtypeStruct((b, out_len), jnp.float32, vma=vma),
         scratch_shapes=[pltpu.VMEM((bt, la), jnp.float32)],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
     )(mag, phs, w.astype(compute_dtype))
-    return out[:b]
+    return out
 
 
 def _fused_synthesis_fwd(mag, phs, w, ft, hop, half, compute_dtype, interpret):
@@ -403,25 +468,20 @@ def _fused_synthesis_fwd(mag, phs, w, ft, hop, half, compute_dtype, interpret):
 def _fused_synthesis_bwd(ft, hop, half, compute_dtype, interpret, res, g):
     mag, phs, w = res
     interpret = _resolve_interpret(interpret)
-    bt = 64
     ot, b, _ = mag.shape
+    bt = _pick_bt(b, 128)
     cw = w.shape[0] // 2
     la = (ot - 1) * hop + ft
     out_len = la - 2 * ft
     nb = -(-b // bt)
-    b_pad = nb * bt
-    if b_pad != b:
-        mag = jnp.pad(mag, ((0, 0), (0, b_pad - b), (0, 0)))
-        phs = jnp.pad(phs, ((0, 0), (0, b_pad - b), (0, 0)))
-        g = jnp.pad(g, ((0, b_pad - b), (0, 0)))
     vma = _vma(mag, phs, w, g)
     out_shape = [
-        jax.ShapeDtypeStruct((ot, b_pad, half), jnp.float32, vma=vma),
-        jax.ShapeDtypeStruct((ot, b_pad, half), jnp.float32, vma=vma),
+        jax.ShapeDtypeStruct((ot, b, half), jnp.float32, vma=vma),
+        jax.ShapeDtypeStruct((ot, b, half), jnp.float32, vma=vma),
         jax.ShapeDtypeStruct(w.shape, jnp.float32, vma=vma),
     ]
     dmag, dphs, dw = pl.pallas_call(
-        _syn_bwd_kernel(ft, hop, half, cw, ot, compute_dtype),
+        _syn_bwd_kernel(ft, hop, half, cw, ot, b, bt, compute_dtype),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((ot, bt, half), lambda i: (0, i, 0),
@@ -442,8 +502,9 @@ def _fused_synthesis_bwd(ft, hop, half, compute_dtype, interpret, res, g):
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((bt, la), jnp.float32)],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
     )(mag, phs, w.astype(compute_dtype), g)
-    return dmag[:, :b], dphs[:, :b], dw.astype(jnp.float32)
+    return dmag, dphs, dw.astype(jnp.float32)
 
 
 fused_synthesis.defvjp(_fused_synthesis_fwd, _fused_synthesis_bwd)

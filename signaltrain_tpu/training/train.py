@@ -66,6 +66,29 @@ def _operands_fn(batch_fn):
     return getattr(owner, "jit_operands", None)
 
 
+def _pick_train_module(model: STModel, mesh, frontend: str = "auto"):
+    """Select the module for the HOT path. frontend='auto' picks the fused
+    Pallas front-end (models/mpaec.py frontend='pallas') on a real TPU when
+    eligible: model axis unsharded (the fused kernels take the full front-end
+    weight matrices; under tensor parallelism the XLA path lets GSPMD
+    partition those GEMMs), no dropout, Mosaic-supported geometry. The clone
+    shares the parameter tree, so checkpoints, eval and viz paths are
+    unaffected. Explicit 'xla'/'pallas' overrides (tests, dryrun) win."""
+    from ..ops import pallas_frontend as pf
+
+    mod = model.module
+    if frontend == "auto":
+        use = (
+            pf.PALLAS_TRAIN_DEFAULT
+            and jax.default_backend() == "tpu"
+            and mesh.shape.get("model", 1) == 1
+            and mod.dropout_rate == 0.0
+            and pf.geometry_supported(mod.ft_size, mod.hop_size)
+        )
+        frontend = "pallas" if use else "xla"
+    return mod.clone(frontend=frontend) if frontend != mod.frontend else mod
+
+
 def make_optimizer(lr_max, n_data_points, epochs, batch_size):
     """Adam (torch defaults, weight_decay=0, train.py:228) driven by the
     closed-form 1cycle schedule."""
@@ -76,7 +99,7 @@ def make_optimizer(lr_max, n_data_points, epochs, batch_size):
 
 
 def make_train_step(model: STModel, tx, batch_fn, batch_size, mesh=None,
-                    clip_max_norm: float = 1.0):
+                    clip_max_norm: float = 1.0, frontend: str = "auto"):
     """Jitted fused train step — ONE parallelization path (round-3 collapse
     of the round-2 GSPMD/shard_map duality, VERDICT r2 item 4):
 
@@ -99,9 +122,10 @@ def make_train_step(model: STModel, tx, batch_fn, batch_size, mesh=None,
     assert batch_size % n_data == 0, (batch_size, n_data)
     local_batch = batch_size // n_data
     ops_fn = _operands_fn(batch_fn)
+    train_module = _pick_train_module(model, mesh, frontend)
 
     def loss_fn(p, x, y, knobs):
-        y_hat, _, mag_hat = model.module.apply(p, x, knobs)
+        y_hat, _, mag_hat = train_module.apply(p, x, knobs)
         return loss_mod.calc_loss(y_hat, y, mag_hat, scale_by_freq=scale)
 
     def local_step(params, opt_state, step, base_key, operands):
@@ -152,7 +176,8 @@ def make_train_step(model: STModel, tx, batch_fn, batch_size, mesh=None,
 
 
 def make_train_multi_step(model: STModel, tx, batch_fn, batch_size,
-                          n_inner: int, mesh=None, clip_max_norm: float = 1.0):
+                          n_inner: int, mesh=None, clip_max_norm: float = 1.0,
+                          frontend: str = "auto"):
     """n_inner fused train steps per device call (lax.scan over the step
     body). Host dispatch in this environment rides a network relay with
     multi-ms jitter; batching steps on device amortizes it away and is the
@@ -173,9 +198,10 @@ def make_train_multi_step(model: STModel, tx, batch_fn, batch_size,
     n_data = mesh.shape["data"]
     assert batch_size % n_data == 0, (batch_size, n_data)
     local_batch = batch_size // n_data
+    train_module = _pick_train_module(model, mesh, frontend)
 
     def loss_fn(p, x, y, knobs):
-        y_hat, _, mag_hat = model.module.apply(p, x, knobs)
+        y_hat, _, mag_hat = train_module.apply(p, x, knobs)
         return loss_mod.calc_loss(y_hat, y, mag_hat, scale_by_freq=scale)
 
     inv_fn = getattr(batch_fn, "make_invariants", None)
@@ -253,12 +279,20 @@ def pick_n_inner(steps_per_epoch: int, status_every: int, cap: int = 250) -> int
 
 
 def make_train_step_from_arrays(model: STModel, tx, mesh=None,
-                                clip_max_norm: float = 1.0):
+                                clip_max_norm: float = 1.0,
+                                frontend: str = "auto"):
     """Train-step variant fed with host-sampled (x, y, knobs) arrays — used
     when a file corpus exceeds HBM (e.g. the 21 GB LA2A set)."""
     n_bins = model.spec.ft_size // 2 + 1
     scale = loss_mod.freq_scale(n_bins)
     dsh = meshlib.data_sharding(mesh) if mesh is not None else None
+    # This variant runs under GSPMD (no shard_map); the fused kernels carry
+    # no partitioning rule, so use them only when the mesh is trivial.
+    single = mesh is None or int(np.prod(list(mesh.shape.values()))) == 1
+    train_module = (
+        _pick_train_module(model, mesh or meshlib.make_mesh(n_model=1), frontend)
+        if single else model.module
+    )
 
     def step_fn(params, opt_state, x, y, knobs):
         if dsh is not None:
@@ -267,7 +301,7 @@ def make_train_step_from_arrays(model: STModel, tx, mesh=None,
             )
 
         def loss_fn(p):
-            y_hat, _, mag_hat = model.module.apply(p, x, knobs)
+            y_hat, _, mag_hat = train_module.apply(p, x, knobs)
             return loss_mod.calc_loss(y_hat, y, mag_hat, scale_by_freq=scale)
 
         l, grads = jax.value_and_grad(loss_fn)(params)
