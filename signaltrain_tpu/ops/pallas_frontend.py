@@ -87,23 +87,31 @@ PALLAS_TRAIN_DEFAULT = False
 
 # Mosaic implements sin/cos/sqrt/rsqrt/exp/log but NOT atan/atan2 (probed on
 # v5e, jax 0.9); the analysis kernel needs atan2 for the phase, so it is
-# implemented here: octant reduction + a degree-10 minimax-style polynomial
-# for atan on [0, 1] (f32 Horner max error 9.2e-8 ~ 1.5 ulp of pi/4 —
-# indistinguishable from the XLA atan2 at phase precision).
+# implemented here: octant reduction + a minimax polynomial for
+# atan(t) = t*P(t^2) on [0, 1]. The phase tolerance of the whole pipeline is
+# 2e-4 (tests/test_pallas_frontend.py pins it); the kernel is VPU-bound on
+# exactly this code, so the polynomial degree is the knob: degree-5-in-s max
+# error 2.96e-6 — 60x under tolerance at half the Horner chain of the
+# previous degree-10 version.
 _ATAN_COEF = (
-    9.999999997077e-01, -3.333332567637e-01, 1.999966693316e-01,
-    -1.428001714570e-01, 1.106045537808e-01, -8.822385972913e-02,
-    6.772851200971e-02, -4.519797673027e-02, 2.302400928550e-02,
-    -7.568427163029e-03, 1.168112372841e-03,
+    9.999950305396e-01, -3.329661039202e-01, 1.954148805580e-01,
+    -1.206330706286e-01, 5.679536232080e-02, -1.321089669597e-02,
 )
 _PI = 3.14159265358979
 _PI_2 = 1.57079632679490
 
 
+def _recip(x):
+    """Approximate reciprocal + one Newton-Raphson step (~1e-7 rel error):
+    the VPU's native divide is a multi-op sequence; this is 3 ops."""
+    r = pl.reciprocal(x, approx=True)
+    return r * (2.0 - x * r)
+
+
 def _atan2(y, x):
     ax, ay = jnp.abs(x), jnp.abs(y)
     mx, mn = jnp.maximum(ax, ay), jnp.minimum(ax, ay)
-    t = mn / jnp.maximum(mx, 1e-38)
+    t = mn * _recip(jnp.maximum(mx, 1e-38))
     s = t * t
     r = jnp.full_like(s, _ATAN_COEF[-1])
     for c in _ATAN_COEF[-2::-1]:
@@ -160,6 +168,10 @@ def _row_mask(i, bt: int, b: int):
 # ---------------------------------------------------------------------------
 
 def _an_fwd_kernel(ft, hop, half, cw, compute_dtype):
+    # A one-frame software-pipelined variant (GEMM for frame t overlapped
+    # with trig for t-1 via a ping-pong scratch) was built and measured:
+    # no change (pair 1484 -> 1567 us/step) — the kernel sits at its
+    # DMA/MXU envelope, not a VPU-serialization wall. Kept simple.
     def kernel(xp_ref, w_ref, mag_ref, phs_ref):
         t = pl.program_id(1)
         frame = xp_ref[:, pl.ds(t * hop, ft)] * 0.5  # the /2 trick, folded in
@@ -213,7 +225,7 @@ def _an_bwd_kernel(ft, hop, half, cw, b, bt, compute_dtype):
         d_im = gm * im
         # d phs = d atan2(im, re + 1e-7)
         rr = re + 1e-7
-        inv_r2 = 1.0 / (rr * rr + im * im)
+        inv_r2 = _recip(rr * rr + im * im)
         d_re += dphs * (-im) * inv_r2
         d_im += dphs * rr * inv_r2
 

@@ -32,7 +32,9 @@ def _case(b, n, seed=0):
         (1, 8),        # minimum
         (3, 50),       # unaligned both dims
         (200, 1000),   # flagship-y batch
-        (1100, 40),    # > one 1024-slot batch tile (multi-tile grid)
+        (1100, 40),    # > 1024 slots: wide (16, 128) carry, single pass
+        (2100, 40),    # wide (32, 128) carry
+        (4200, 24),    # > _MAX_WIDE*128 slots: multi-tile grid (two passes)
         (16, 1200),    # > one _UNROLL-block, multiple time blocks when small
     ],
 )
