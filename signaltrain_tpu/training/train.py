@@ -270,7 +270,16 @@ def pick_n_inner(steps_per_epoch: int, status_every: int, cap: int = 250) -> int
     rides a network relay with ~100 ms jittery RTTs; at ~1-3 ms device step
     time the relay dominates unless O(100) steps ride one call. Status lines
     keep the reference's every-10-batches cadence — they are printed from the
-    per-step losses vector the fused call returns."""
+    per-step losses vector the fused call returns.
+
+    ST_TPU_N_INNER_CAP overrides the cap: a 250-step fused scan is a very
+    large graph, and on tunnel-backed remote-compile setups the compile can
+    exceed the service's patience ("TPU backend setup/compile error
+    (Unavailable)") — a smaller cap (e.g. 50) trades ~1% relay overhead for
+    a compile that reliably finishes."""
+    import os
+
+    cap = int(os.environ.get("ST_TPU_N_INNER_CAP", cap))
     best = 1
     for k in range(status_every, min(cap, steps_per_epoch) + 1, status_every):
         if steps_per_epoch % k == 0:
