@@ -211,3 +211,18 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     assert rv["effect_name"] == "Compressor_4c"
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pick_n_inner_env_cap(monkeypatch):
+    """ST_TPU_N_INNER_CAP bounds the fused-scan length (huge remote compiles
+    can exceed the compile service's patience); the choice must still divide
+    the epoch and align with the status cadence."""
+    from signaltrain_tpu.training.train import pick_n_inner
+
+    monkeypatch.delenv("ST_TPU_N_INNER_CAP", raising=False)
+    assert pick_n_inner(1000, 10) == 250
+    monkeypatch.setenv("ST_TPU_N_INNER_CAP", "50")
+    assert pick_n_inner(1000, 10) == 50
+    assert 1000 % pick_n_inner(1000, 10) == 0
+    monkeypatch.setenv("ST_TPU_N_INNER_CAP", "1")
+    assert pick_n_inner(1000, 10) == 1  # floor: unfused fallback
