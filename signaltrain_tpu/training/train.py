@@ -25,6 +25,7 @@ val_data_*.png + spectrogram plots, checkpoint cadence, first-epoch ETA.
 from __future__ import annotations
 
 import functools
+import os
 import time
 from typing import Any
 
@@ -91,10 +92,17 @@ def _pick_train_module(model: STModel, mesh, frontend: str = "auto"):
 
 def make_optimizer(lr_max, n_data_points, epochs, batch_size):
     """Adam (torch defaults, weight_decay=0, train.py:228) driven by the
-    closed-form 1cycle schedule."""
+    closed-form 1cycle schedule. ST_TPU_GROUPED_ADAM=1 swaps in the
+    shape-grouped formulation (same update values, ~8 fused ops instead of
+    ~64 tiny dispatches — see training/grouped_adam.py); opt-in until its
+    step-time win is confirmed on the target backend."""
     lr_fn = schedule.one_cycle_fn(
         lr_max=lr_max, n_data_points=n_data_points, epochs=epochs, batch_size=batch_size
     )
+    if os.environ.get("ST_TPU_GROUPED_ADAM") == "1":
+        from .grouped_adam import grouped_adam
+
+        return grouped_adam(lr_fn, b1=0.9, b2=0.999, eps=1e-8), lr_fn
     return optax.adam(learning_rate=lr_fn, b1=0.9, b2=0.999, eps=1e-8), lr_fn
 
 
@@ -277,8 +285,6 @@ def pick_n_inner(steps_per_epoch: int, status_every: int, cap: int = 250) -> int
     exceed the service's patience ("TPU backend setup/compile error
     (Unavailable)") — a smaller cap (e.g. 50) trades ~1% relay overhead for
     a compile that reliably finishes."""
-    import os
-
     cap = int(os.environ.get("ST_TPU_N_INNER_CAP", cap))
     best = 1
     for k in range(status_every, min(cap, steps_per_epoch) + 1, status_every):

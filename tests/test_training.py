@@ -226,3 +226,40 @@ def test_pick_n_inner_env_cap(monkeypatch):
     assert 1000 % pick_n_inner(1000, 10) == 0
     monkeypatch.setenv("ST_TPU_N_INNER_CAP", "1")
     assert pick_n_inner(1000, 10) == 1  # floor: unfused fallback
+
+
+def test_grouped_adam_matches_optax_adam():
+    """grouped_adam (shape-grouped packing, training/grouped_adam.py) must
+    produce the same parameters as optax.adam over several steps with a
+    schedule — packing is data movement only, the math is identical (to
+    float ulp: XLA reassociates the fused quotient differently)."""
+    from signaltrain_tpu.models.st_model import st_model
+    from signaltrain_tpu.training.grouped_adam import grouped_adam
+
+    m = st_model()
+    params = m.init(jax.random.PRNGKey(7))
+    lr_fn = schedule.one_cycle_fn(
+        lr_max=1e-4, n_data_points=2000, epochs=10, batch_size=20
+    )
+    ref_tx = __import__("optax").adam(learning_rate=lr_fn, b1=0.9, b2=0.999, eps=1e-8)
+    new_tx = grouped_adam(lr_fn, b1=0.9, b2=0.999, eps=1e-8)
+    p_ref, s_ref = params, ref_tx.init(params)
+    p_new, s_new = params, new_tx.init(params)
+
+    @jax.jit
+    def step(p_r, s_r, p_n, s_n, key):
+        grads = jax.tree.map(
+            lambda x: jax.random.normal(key, x.shape, x.dtype) * 1e-3, p_r
+        )
+        u_r, s_r = ref_tx.update(grads, s_r, p_r)
+        u_n, s_n = new_tx.update(grads, s_n, p_n)
+        import optax as _o
+
+        return _o.apply_updates(p_r, u_r), s_r, _o.apply_updates(p_n, u_n), s_n
+
+    for i in range(5):
+        p_ref, s_ref, p_new, s_new = step(
+            p_ref, s_ref, p_new, s_new, jax.random.PRNGKey(i)
+        )
+    for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_new)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-10)
