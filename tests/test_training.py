@@ -152,11 +152,15 @@ def test_nonprimary_process_writes_nothing(tmp_path, monkeypatch):
     assert os.listdir(tmp_path) == [], os.listdir(tmp_path)
 
 
-def test_resume_continuity_bitexact(tmp_path):
+@pytest.mark.parametrize("grouped", [False, True])
+def test_resume_continuity_bitexact(tmp_path, monkeypatch, grouped):
     """Train 2 steps, checkpoint (params + optax state), resume in a fresh
     model/optimizer, and run step 3 on both: the resumed trajectory must
     match the uninterrupted one bit-for-bit. Pins restore_optax_state's
-    leaf-list wire format (VERDICT r1 weak #5)."""
+    leaf-list wire format (VERDICT r1 weak #5); the grouped variant pins
+    that grouped-Adam state (training/grouped_adam.py) rides the same
+    wire path."""
+    monkeypatch.setenv("ST_TPU_GROUPED_ADAM", "1" if grouped else "0")
     from signaltrain_tpu.data import synth_data
     from signaltrain_tpu.models.st_model import ModelSpec, STModel
     from signaltrain_tpu.training import train as trainlib
