@@ -78,6 +78,51 @@ def _unpack(packed, groups, small, leaves_template):
     return out
 
 
+def _find_adam_inner(plain_state):
+    """Locate the ScaleByAdamState inside an optax.adam chain state."""
+    for s in plain_state:
+        fields = getattr(s, "_fields", ())
+        if "mu" in fields and "nu" in fields and "count" in fields:
+            return s
+    raise ValueError("no ScaleByAdamState in optimizer state chain")
+
+
+def from_plain_state(params, plain_state, big_elems: int = 65536) -> GroupedAdamState:
+    """Convert an optax.adam(...) state for `params` into the grouped form.
+    Used when resuming a checkpoint saved in the canonical per-leaf wire
+    format (training/checkpoint.py) under the grouped optimizer."""
+    adam = _find_adam_inner(plain_state)
+    leaves = jax.tree_util.tree_leaves(params)
+    groups, small = _partition(leaves, big_elems)
+    mu = _pack(jax.tree_util.tree_leaves(adam.mu), groups, small)
+    nu = _pack(jax.tree_util.tree_leaves(adam.nu), groups, small)
+    return GroupedAdamState(count=jnp.asarray(adam.count, jnp.int32), mu=mu, nu=nu)
+
+
+def to_plain_state(params, state: GroupedAdamState, plain_template,
+                   big_elems: int = 65536):
+    """Convert a GroupedAdamState back into the optax.adam chain layout of
+    `plain_template` — the canonical checkpoint wire format, so checkpoints
+    stay interchangeable between the two optimizers (and with older files).
+    optax's adam/schedule counts increment in lockstep, so both get
+    state.count."""
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    groups, small = _partition(leaves, big_elems)
+    unflatten = jax.tree_util.tree_unflatten
+    mu_tree = unflatten(treedef, _unpack(state.mu, groups, small, leaves))
+    nu_tree = unflatten(treedef, _unpack(state.nu, groups, small, leaves))
+    adam_t = _find_adam_inner(plain_template)
+    out = []
+    for s in plain_template:
+        if s is adam_t:
+            out.append(s._replace(count=state.count, mu=mu_tree, nu=nu_tree))
+        elif "count" in getattr(s, "_fields", ()):
+            out.append(s._replace(count=state.count))
+        else:
+            out.append(s)
+    return type(plain_template)(out)
+
+
 def grouped_adam(
     learning_rate: Union[float, Callable],
     b1: float = 0.9,

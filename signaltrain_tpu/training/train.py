@@ -490,9 +490,25 @@ def train(
     psharding = meshlib.param_shardings(mesh, params)
     params = jax.device_put(params, psharding)
     opt_state = tx.init(params)
+    # Checkpoints store optimizer state in the canonical per-leaf adam
+    # layout regardless of which optimizer is live, so the grouped/per-leaf
+    # choice can change across resumes. plain_opt_template exists only to
+    # translate between the two (zeros; negligible).
+    from . import grouped_adam as galib
+
+    grouped = isinstance(opt_state, galib.GroupedAdamState)
+    plain_opt_template = (
+        optax.adam(learning_rate=lr_fn, b1=0.9, b2=0.999, eps=1e-8).init(params)
+        if grouped else None
+    )
     step0 = 0
     if loaded_params is not None and "optax_state" in rv:
-        restored = checkpoint.restore_optax_state(opt_state, rv["optax_state"])
+        saved = rv["optax_state"]
+        if grouped and len(saved) != len(jax.tree_util.tree_leaves(opt_state)):
+            plain = checkpoint.restore_optax_state(plain_opt_template, saved)
+            restored = galib.from_plain_state(params, plain)
+        else:
+            restored = checkpoint.restore_optax_state(opt_state, saved)
         opt_state = jax.device_put(
             restored, jax.tree.map(lambda x: x.sharding, opt_state)
         )
@@ -711,6 +727,10 @@ def train(
                 # dispatching while the worker blocks on the transfer
                 p_snap = async_io.snapshot(params)
                 o_snap = async_io.snapshot(opt_state)
+                if grouped:  # canonical per-leaf wire format (see restore)
+                    o_snap = galib.to_plain_state(
+                        p_snap, o_snap, plain_opt_template
+                    )
 
                 def save_cp(p=p_snap, o=o_snap, ep=epoch, it=iter_count):
                     checkpoint.save_checkpoint(

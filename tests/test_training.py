@@ -267,3 +267,33 @@ def test_grouped_adam_matches_optax_adam():
         )
     for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_new)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-10)
+
+
+def test_grouped_plain_state_conversion_roundtrip():
+    """from_plain_state / to_plain_state (training/grouped_adam.py) must
+    round-trip an optax.adam state exactly — they are what keeps checkpoint
+    files in ONE canonical per-leaf wire format while the live optimizer may
+    be grouped."""
+    import optax
+
+    from signaltrain_tpu.models.st_model import st_model
+    from signaltrain_tpu.training import grouped_adam as ga
+
+    m = st_model()
+    params = m.init(jax.random.PRNGKey(11))
+    tx = optax.adam(learning_rate=1e-4)
+    state = tx.init(params)
+    for i in range(3):  # make mu/nu/count nonzero
+        grads = jax.tree.map(
+            lambda x: jax.random.normal(jax.random.PRNGKey(i), x.shape, x.dtype),
+            params,
+        )
+        _, state = tx.update(grads, state, params)
+
+    g = ga.from_plain_state(params, state)
+    back = ga.to_plain_state(params, g, tx.init(params))
+    a_leaves = jax.tree.leaves(state)
+    b_leaves = jax.tree.leaves(back)
+    assert len(a_leaves) == len(b_leaves)
+    for a, b in zip(a_leaves, b_leaves):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
