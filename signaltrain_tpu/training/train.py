@@ -215,25 +215,37 @@ def make_train_multi_step(model: STModel, tx, batch_fn, batch_size,
     inv_fn = getattr(batch_fn, "make_invariants", None)
     ops_fn = _operands_fn(batch_fn)
 
+    # ST_TPU_HOIST_DATAGEN=g synthesizes g inner steps' data in ONE
+    # vectorized call before an inner scan (10x larger datagen ops, 10x
+    # fewer dispatches) instead of per step inside the scan body. The
+    # per-example PRNG keys are identical either way, so training is
+    # bit-identical; memory grows by g*batch*chunk f32 (~330 MB at
+    # batch 800, g=10). Opt-in until its step-time win is measured.
+    hoist = int(os.environ.get("ST_TPU_HOIST_DATAGEN", "0"))
+    group = hoist if hoist > 1 and n_inner % hoist == 0 else 1
+
     def local_multi_step(params, opt_state, step0, base_key, operands):
         # loop-invariant precompute (pinknoise cosine table) built once
         # per device call, NOT once per inner step
         inv = inv_fn() if inv_fn is not None else None
         shard = jax.lax.axis_index("data")
 
-        def body(carry, i):
-            params, opt_state = carry
+        def gen(keys):
+            if operands is not None:
+                return batch_fn(keys, operands=operands)
+            if inv is not None:
+                return batch_fn(keys, inv)
+            return batch_fn(keys)
+
+        def step_keys(i):
             key = jax.random.fold_in(
                 jax.random.fold_in(base_key, step0 + i), shard
             )
-            keys = jax.random.split(key, local_batch)
-            if operands is not None:
-                x, y, knobs = batch_fn(keys, operands=operands)
-            elif inv is not None:
-                x, y, knobs = batch_fn(keys, inv)
-            else:
-                x, y, knobs = batch_fn(keys)
-            l, grads = jax.value_and_grad(loss_fn)(params, x, y, knobs)
+            return jax.random.split(key, local_batch)
+
+        def update(carry, l_and_grads):
+            params, opt_state = carry
+            l, grads = l_and_grads
             l = jax.lax.pmean(l, "data")
             grads = jax.lax.pmean(grads, "data")
             grads = clip_frontend_grads(grads, clip_max_norm)
@@ -241,10 +253,37 @@ def make_train_multi_step(model: STModel, tx, batch_fn, batch_size,
             params = optax.apply_updates(params, updates)
             return (params, opt_state), l
 
+        def body(carry, i):
+            params, _ = carry
+            x, y, knobs = gen(step_keys(i))
+            lg = jax.value_and_grad(loss_fn)(params, x, y, knobs)
+            return update(carry, lg)
+
+        if group == 1:
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), jnp.arange(n_inner)
+            )
+            return params, opt_state, losses
+
+        def body_grouped(carry, i0):
+            # vmap (not flatten) over the group axis: the stratified chooser
+            # partitions each local_batch by position, so every inner step
+            # must see its own length-local_batch key vector to stay
+            # bit-identical with the per-step formulation
+            keys = jax.vmap(step_keys)(i0 + jnp.arange(group))
+            data = jax.vmap(gen)(keys)
+
+            def inner(c, xyk):
+                x, y, knobs = xyk
+                lg = jax.value_and_grad(loss_fn)(c[0], x, y, knobs)
+                return update(c, lg)
+
+            return jax.lax.scan(inner, carry, data)
+
         (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), jnp.arange(n_inner)
+            body_grouped, (params, opt_state), jnp.arange(0, n_inner, group)
         )
-        return params, opt_state, losses
+        return params, opt_state, losses.reshape(n_inner)
 
     # 'model' joins the manual region when unsharded (size 1): a size-1 auto
     # axis would still route the Pallas kernel through GSPMD's

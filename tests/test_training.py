@@ -297,3 +297,38 @@ def test_grouped_plain_state_conversion_roundtrip():
     assert len(a_leaves) == len(b_leaves)
     for a, b in zip(a_leaves, b_leaves):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_hoisted_datagen_bitexact(monkeypatch):
+    """ST_TPU_HOIST_DATAGEN pre-generates g inner steps' data in one
+    vectorized call; the per-example keys are the same, so params and
+    losses must match the per-step formulation bit-for-bit."""
+    from signaltrain_tpu.data import synth_data
+    from signaltrain_tpu.models.st_model import ModelSpec, STModel
+    from signaltrain_tpu.training import train as trainlib
+
+    spec = ModelSpec(
+        scale_factor=512 / 8192.0, shrink_factor=4.0, num_knobs=4, sr=44100,
+        in_chunk_size=512, out_chunk_size=128, ft_size=64, hop_size=24,
+        time_frames=25, output_time_frames=9,
+    )
+    effect = effects.Compressor_4c()
+    model = STModel(spec)
+    batch_fn = synth_data.make_synth_batch_fn(effect, 512, 128)
+    tx, _ = trainlib.make_optimizer(1e-4, 256, 2, 8)
+    key = jax.random.PRNGKey(5)
+    params0 = model.init(jax.random.PRNGKey(0))
+
+    results = {}
+    for flag in ("0", "4"):
+        monkeypatch.setenv("ST_TPU_HOIST_DATAGEN", flag)
+        step = trainlib.make_train_multi_step(model, tx, batch_fn, 8, n_inner=4)
+        # the fused step donates params/opt_state: give each run its own copy
+        p = jax.tree.map(jnp.copy, params0)
+        o = tx.init(p)
+        p, o, losses = step(p, o, jnp.asarray(0), key)
+        results[flag] = (p, np.asarray(losses))
+
+    np.testing.assert_array_equal(results["0"][1], results["4"][1])
+    for a, b in zip(jax.tree.leaves(results["0"][0]), jax.tree.leaves(results["4"][0])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
