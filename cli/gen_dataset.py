@@ -83,6 +83,14 @@ def main():
     gen_synth_data(args)
 
 
+def to_pcm16(a, xp=np):
+    """float [-1,1] -> int16 by ROUNDING (truncation carries a 1-LSB bias vs
+    the int16 data tier's round(), ADVICE r2 #2). One definition shared by
+    the device, infile and host backends so the quantization can never
+    desynchronize between them. xp: numpy or jax.numpy."""
+    return xp.round(xp.clip(a, -1.0, 1.0) * 32767.0).astype(xp.int16)
+
+
 def gen_synth_data(args):
     if args.backend == "host":
         # must precede ANY jnp computation (knobs_wc below runs on device):
@@ -210,13 +218,8 @@ def gen_synth_data(args):
         ) - 0.5
         y, x = effect.go_batch(x, knobs_nn, keys=keys)
         if args.pcm16:  # device-side PCM conversion: half the bytes pulled
-            return _to16(x), _to16(y)
+            return to_pcm16(x, jnp), to_pcm16(y, jnp)
         return x, y
-
-    def _to16(a):
-        # round (not truncate): truncation carries a 1-LSB bias vs the int16
-        # data tier's round() (ADVICE r2 #2)
-        return jnp.round(jnp.clip(a, -1.0, 1.0) * 32767.0).astype(jnp.int16)
 
     log_every = 100
     base_key = jax.random.PRNGKey(args.seed)
@@ -242,7 +245,7 @@ def gen_synth_data(args):
         if pending is not None:
             xd, yd, b0, bend = pending
             x, y = np.asarray(xd), np.asarray(yd)
-            _write_pairs(args, effect, name, all_outpaths, all_knobs_wc,
+            _write_pairs(effect, name, all_outpaths, all_knobs_wc,
                          start_output_i, x, y, b0, bend, num_outfiles,
                          log_every, sr)
         pending = new_pending
@@ -268,14 +271,14 @@ def gen_synth_data(args):
         keys = jax.random.split(jax.random.fold_in(base_key, b0), db)
         y, x = effect.go_batch(jnp.asarray(xs), jnp.asarray(knobs_nn), keys=keys)
         if args.pcm16:  # same conversion as the synth path (ADVICE r2 #2)
-            x, y = _to16(x), _to16(y)
+            x, y = to_pcm16(x, jnp), to_pcm16(y, jnp)
         x, y = np.asarray(x), np.asarray(y)
-        _write_pairs(args, effect, name, all_outpaths, all_knobs_wc,
+        _write_pairs(effect, name, all_outpaths, all_knobs_wc,
                      start_output_i, x, y, b0, bend, num_outfiles,
                      log_every, sr)
 
 
-def _write_pairs(args, effect, name, all_outpaths, all_knobs_wc, start_output_i,
+def _write_pairs(effect, name, all_outpaths, all_knobs_wc, start_output_i,
                  x, y, b0, bend, num_outfiles, log_every, sr):
     from signaltrain_tpu.data import audio_io
 
@@ -431,10 +434,9 @@ class _HostGen:
             for j in range(bend - b0)
         ])
         if p["pcm16"]:
-            x = np.round(np.clip(x, -1.0, 1.0) * 32767.0).astype(np.int16)
-            y = np.round(np.clip(y, -1.0, 1.0) * 32767.0).astype(np.int16)
+            x, y = to_pcm16(x), to_pcm16(y)
         _write_pairs(
-            None, self.effect, p["name"], p["outpaths"], p["knobs_wc"],
+            self.effect, p["name"], p["outpaths"], p["knobs_wc"],
             p["start_output_i"], x, y, b0, bend, p["num_outfiles"],
             p["log_every"], p["sr"],
         )

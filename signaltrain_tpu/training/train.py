@@ -26,7 +26,9 @@ from __future__ import annotations
 
 import functools
 import os
+import sys
 import time
+import traceback
 from typing import Any
 
 import jax
@@ -106,6 +108,60 @@ def make_optimizer(lr_max, n_data_points, epochs, batch_size):
     return optax.adam(learning_rate=lr_fn, b1=0.9, b2=0.999, eps=1e-8), lr_fn
 
 
+def _shard_scaffold(model: STModel, mesh, batch_size, frontend):
+    """Shared partitioning policy of the train-step factories: default mesh,
+    batch shard arithmetic, hot-path module choice, and the shard_map
+    kwargs. Lives ONCE so the single-step and fused-scan paths cannot
+    diverge. Returns (mesh, local_batch, train_module, shard_kw).
+
+    The specs the callers pass describe only the MANUAL ('data') axis:
+    params/opt_state are data-replicated; their 'model' sharding rides the
+    auto axis. operands (a device-resident file corpus) are replicated too —
+    every chip samples its own crops from the full corpus.
+    'model' joins the manual region when unsharded (size 1): a size-1 auto
+    axis would still route the Pallas kernel through GSPMD's
+    custom-partitioning hook, which this jax version cannot unflatten
+    inside a shard_map region. With model > 1 the axis stays auto so the
+    front-end weight sharding partitions the GEMMs."""
+    if mesh is None:
+        mesh = meshlib.make_mesh(n_model=1)
+    n_data = mesh.shape["data"]
+    assert batch_size % n_data == 0, (
+        f"batch_size {batch_size} must divide over the mesh's {n_data} "
+        f"'data' devices; pass a mesh= matching the intended device set"
+    )
+    local_batch = batch_size // n_data
+    train_module = _pick_train_module(model, mesh, frontend)
+    manual = (
+        frozenset({"data"}) if mesh.shape.get("model", 1) > 1
+        else frozenset({"data", "model"})
+    )
+    shard_kw = dict(mesh=mesh, axis_names=manual, check_vma=False)
+    return mesh, local_batch, train_module, shard_kw
+
+
+def _jit_sharded_step(local_fn, shard_kw, ops_fn):
+    """shard_map + jit a local step body fn(params, opt_state, step, key,
+    operands) -> 3 outputs, with buffer donation. Without operands the plain
+    jitted callable is returned (introspectable: .lower etc.)."""
+    from jax.sharding import PartitionSpec as P
+
+    if ops_fn is None:
+        step_fn = jax.shard_map(
+            lambda p, o, s, k: local_fn(p, o, s, k, None),
+            in_specs=(P(), P(), P(), P()), out_specs=(P(), P(), P()),
+            **shard_kw,
+        )
+        return jax.jit(step_fn, donate_argnums=(0, 1))
+    step_fn = jax.shard_map(
+        local_fn,
+        in_specs=(P(), P(), P(), P(), P()), out_specs=(P(), P(), P()),
+        **shard_kw,
+    )
+    jitted = jax.jit(step_fn, donate_argnums=(0, 1))
+    return lambda p, o, s, k: jitted(p, o, s, k, ops_fn())
+
+
 def make_train_step(model: STModel, tx, batch_fn, batch_size, mesh=None,
                     clip_max_norm: float = 1.0, frontend: str = "auto"):
     """Jitted fused train step — ONE parallelization path (round-3 collapse
@@ -120,17 +176,11 @@ def make_train_step(model: STModel, tx, batch_fn, batch_size, mesh=None,
     GEMMs inside the per-device body, inserting the TP collectives. On a
     single chip the mesh is 1x1 and the wrapper lowers to the plain step.
     """
-    n_bins = model.spec.ft_size // 2 + 1
-    scale = loss_mod.freq_scale(n_bins)
-    if mesh is None:
-        mesh = meshlib.make_mesh(n_model=1)
-    from jax.sharding import PartitionSpec as P
-
-    n_data = mesh.shape["data"]
-    assert batch_size % n_data == 0, (batch_size, n_data)
-    local_batch = batch_size // n_data
+    mesh, local_batch, train_module, shard_kw = _shard_scaffold(
+        model, mesh, batch_size, frontend
+    )
+    scale = loss_mod.freq_scale(model.spec.ft_size // 2 + 1)
     ops_fn = _operands_fn(batch_fn)
-    train_module = _pick_train_module(model, mesh, frontend)
 
     def loss_fn(p, x, y, knobs):
         y_hat, _, mag_hat = train_module.apply(p, x, knobs)
@@ -152,35 +202,7 @@ def make_train_step(model: STModel, tx, batch_fn, batch_size, mesh=None,
         params = optax.apply_updates(params, updates)
         return params, opt_state, l
 
-    # specs describe only the MANUAL ('data') axis: params/opt_state are
-    # data-replicated; their 'model' sharding rides the auto axis. operands
-    # (a device-resident file corpus) are replicated too — every chip
-    # samples its own crops from the full corpus.
-    # 'model' joins the manual region when unsharded (size 1): a size-1 auto
-    # axis would still route the Pallas kernel through GSPMD's
-    # custom-partitioning hook, which this jax version cannot unflatten
-    # inside a shard_map region. With model > 1 the axis stays auto so the
-    # front-end weight sharding partitions the GEMMs.
-    manual = (
-        frozenset({"data"}) if mesh.shape.get("model", 1) > 1
-        else frozenset({"data", "model"})
-    )
-    shard_kw = dict(mesh=mesh, axis_names=manual, check_vma=False)
-    if ops_fn is None:
-        step_fn = jax.shard_map(
-            lambda p, o, s, k: local_step(p, o, s, k, None),
-            in_specs=(P(), P(), P(), P()), out_specs=(P(), P(), P()),
-            **shard_kw,
-        )
-        # keep the plain jitted callable (introspectable: .lower etc.)
-        return jax.jit(step_fn, donate_argnums=(0, 1))
-    step_fn = jax.shard_map(
-        local_step,
-        in_specs=(P(), P(), P(), P(), P()), out_specs=(P(), P(), P()),
-        **shard_kw,
-    )
-    jitted = jax.jit(step_fn, donate_argnums=(0, 1))
-    return lambda p, o, s, k: jitted(p, o, s, k, ops_fn())
+    return _jit_sharded_step(local_step, shard_kw, ops_fn)
 
 
 def make_train_multi_step(model: STModel, tx, batch_fn, batch_size,
@@ -197,16 +219,10 @@ def make_train_multi_step(model: STModel, tx, batch_fn, batch_size,
     step, grads pmean'd per inner step), with the 'model' axis left to GSPMD
     as an auto axis.
     """
-    n_bins = model.spec.ft_size // 2 + 1
-    scale = loss_mod.freq_scale(n_bins)
-    if mesh is None:
-        mesh = meshlib.make_mesh(n_model=1)
-    from jax.sharding import PartitionSpec as P
-
-    n_data = mesh.shape["data"]
-    assert batch_size % n_data == 0, (batch_size, n_data)
-    local_batch = batch_size // n_data
-    train_module = _pick_train_module(model, mesh, frontend)
+    mesh, local_batch, train_module, shard_kw = _shard_scaffold(
+        model, mesh, batch_size, frontend
+    )
+    scale = loss_mod.freq_scale(model.spec.ft_size // 2 + 1)
 
     def loss_fn(p, x, y, knobs):
         y_hat, _, mag_hat = train_module.apply(p, x, knobs)
@@ -285,30 +301,7 @@ def make_train_multi_step(model: STModel, tx, batch_fn, batch_size,
         )
         return params, opt_state, losses.reshape(n_inner)
 
-    # 'model' joins the manual region when unsharded (size 1): a size-1 auto
-    # axis would still route the Pallas kernel through GSPMD's
-    # custom-partitioning hook, which this jax version cannot unflatten
-    # inside a shard_map region. With model > 1 the axis stays auto so the
-    # front-end weight sharding partitions the GEMMs.
-    manual = (
-        frozenset({"data"}) if mesh.shape.get("model", 1) > 1
-        else frozenset({"data", "model"})
-    )
-    shard_kw = dict(mesh=mesh, axis_names=manual, check_vma=False)
-    if ops_fn is None:
-        fn = jax.shard_map(
-            lambda p, o, s, k: local_multi_step(p, o, s, k, None),
-            in_specs=(P(), P(), P(), P()), out_specs=(P(), P(), P()),
-            **shard_kw,
-        )
-        return jax.jit(fn, donate_argnums=(0, 1))
-    fn = jax.shard_map(
-        local_multi_step,
-        in_specs=(P(), P(), P(), P(), P()), out_specs=(P(), P(), P()),
-        **shard_kw,
-    )
-    jitted = jax.jit(fn, donate_argnums=(0, 1))
-    return lambda p, o, s, k: jitted(p, o, s, k, ops_fn())
+    return _jit_sharded_step(local_multi_step, shard_kw, ops_fn)
 
 
 def pick_n_inner(steps_per_epoch: int, status_every: int, cap: int = 250) -> int:
@@ -341,8 +334,17 @@ def make_train_step_from_arrays(model: STModel, tx, mesh=None,
     scale = loss_mod.freq_scale(n_bins)
     dsh = meshlib.data_sharding(mesh) if mesh is not None else None
     # This variant runs under GSPMD (no shard_map); the fused kernels carry
-    # no partitioning rule, so use them only when the mesh is trivial.
+    # no partitioning rule, so 'auto' resolves them only on a trivial mesh.
+    # An EXPLICIT frontend choice must win or fail loudly (the
+    # _pick_train_module contract) — silently downgrading 'pallas' to XLA
+    # would make a caller believe they exercised the fused kernels.
     single = mesh is None or int(np.prod(list(mesh.shape.values()))) == 1
+    if not single and frontend == "pallas":
+        raise ValueError(
+            "frontend='pallas' is unsupported on a multi-device mesh in "
+            "make_train_step_from_arrays (no partitioning rule for the fused "
+            "front-end kernels); use frontend='auto' or 'xla'"
+        )
     train_module = (
         _pick_train_module(model, mesh or meshlib.make_mesh(n_model=1), frontend)
         if single else model.module
@@ -705,10 +707,17 @@ def train(
                 pending = new_pend
 
             # ---- eval / status / save (train.py:28-80)
-            do_val_plot = primary and make_plots and (epoch + 1) % plot_every == 0
-            do_spec_plot = primary and make_plots and (
+            # Multi-host SPMD discipline: DEVICE ops (snapshots, eval) run on
+            # every process — a global array touched from process 0 alone
+            # would diverge the program and hang the pod — while host-side
+            # FILE writes are primary-only. plot_* flags gate writes; the
+            # *_c flags gate the shared device work feeding them.
+            do_val_plot_c = make_plots and (epoch + 1) % plot_every == 0
+            do_spec_plot_c = make_plots and (
                 ((epoch + 1) % 20 == 0) or (epoch == epochs - 1)
             )
+            do_val_plot = primary and do_val_plot_c
+            do_spec_plot = primary and do_spec_plot_c
             if host_data:
                 if pending is not None:
                     process_pending(pending)
@@ -751,7 +760,7 @@ def train(
                 # plot_spectrograms draws the CURRENT front-end weights:
                 # snapshot them device-side now (params will be donated to
                 # the next epoch's train step)
-                spec_params = async_io.snapshot(params) if do_spec_plot else None
+                spec_params = async_io.snapshot(params) if do_spec_plot_c else None
                 new_eval = (
                     epoch, losses_val, maes_val, last,
                     do_val_plot, do_spec_plot, spec_params,
@@ -760,9 +769,12 @@ def train(
                     process_eval(pending_eval)
                 pending_eval = new_eval
 
-            if primary and (((epoch + 1) % cp_every == 0) or (epoch == epochs - 1)):
-                # snapshot device-side (async HBM->HBM copy), then serialize
-                # and write on the background thread — the train loop keeps
+            if ((epoch + 1) % cp_every == 0) or (epoch == epochs - 1):
+                # snapshot device-side (async HBM->HBM copy) on EVERY process
+                # (multi-host SPMD discipline, see above; with data-parallel
+                # pods params are replicated so primary's device_get reads
+                # local shards), then serialize and write on the background
+                # thread of the primary only — the train loop keeps
                 # dispatching while the worker blocks on the transfer
                 p_snap = async_io.snapshot(params)
                 o_snap = async_io.snapshot(opt_state)
@@ -777,7 +789,8 @@ def train(
                         optax_state=jax.device_get(o), step=it,
                     )
 
-                writer.submit(save_cp)
+                if primary:
+                    writer.submit(save_cp)
 
             if epoch == 0:
                 secs_left = (time.time() - first_time) * (epochs - 1)
@@ -794,14 +807,34 @@ def train(
         if pending is not None:
             process_pending(pending)
             pending = None
+    except BaseException:
+        # error path: flush whatever already-computed results are in the
+        # one-epoch pipelines (epoch e's eval landed during e+1's compute —
+        # dropping it would leave the .dat logs an epoch short of what ran),
+        # then re-raise the original error; flush failures must not mask it
+        try:
+            if pending_eval is not None:
+                process_eval(pending_eval)
+            if pending is not None:
+                process_pending(pending)
+        except Exception:
+            pass
+        raise
     finally:
         # close on error paths too, else the daemon producer thread keeps
         # the corpus alive and sampling until queue-full (ADVICE r2 #3);
         # the writer close drains queued checkpoint/plot work so files exist
-        # when train() returns
+        # when train() returns. writer.close() re-raises a failed
+        # checkpoint/plot write, but never over an in-flight exception.
+        in_flight = sys.exc_info()[0] is not None
         if prefetcher is not None:
             prefetcher.close()
         if writer is not None:
-            writer.close()
+            try:
+                writer.close()
+            except Exception:
+                if not in_flight:
+                    raise
+                traceback.print_exc()
     print("\nTotal elapsed time for training loop =", time.time() - first_time)
     return model, params

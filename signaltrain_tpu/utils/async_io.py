@@ -39,10 +39,13 @@ def snapshot(tree):
 
 class AsyncWriter:
     """FIFO background executor for observability work (plots, checkpoints,
-    log lines). Exceptions are printed, never raised into the train loop."""
+    log lines). A failing closure is printed immediately (mid-run the loop
+    keeps training) and the FIRST failure is re-raised from close(), so a
+    run whose checkpoint save failed cannot end looking successful."""
 
     def __init__(self, name: str = "st-obs-writer"):
         self._q: queue.Queue = queue.Queue()
+        self._first_error: Exception | None = None
         self._thread = threading.Thread(target=self._work, name=name, daemon=True)
         self._thread.start()
 
@@ -56,13 +59,20 @@ class AsyncWriter:
                 return
             try:
                 fn()
-            except Exception:
+            except Exception as e:
                 traceback.print_exc()
+                if self._first_error is None:
+                    self._first_error = e
 
     def pending(self) -> int:
         return self._q.qsize()
 
     def close(self, timeout: float | None = None) -> None:
-        """Drain the queue and join the worker (call once, at train end)."""
+        """Drain the queue and join the worker (call once, at train end).
+        Raises the first closure failure, if any."""
         self._q.put(None)
         self._thread.join(timeout=timeout)
+        if self._first_error is not None:
+            raise RuntimeError(
+                "async observability write failed during the run"
+            ) from self._first_error
