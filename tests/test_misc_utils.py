@@ -95,3 +95,25 @@ def test_resample_halves_length(tmp_path):
     x = np.sin(np.arange(44100) / 10).astype(np.float32)
     y = audio_io.resample(x, 44100, 22050)
     assert abs(len(y) - 22050) <= 1
+
+
+def test_async_writer_error_propagates_at_close():
+    """A failed observability write (e.g. checkpoint save on a full disk)
+    prints immediately but must re-raise from close() so the run cannot end
+    looking successful; healthy closures still run after a failure."""
+    import pytest
+
+    from signaltrain_tpu.utils import async_io
+
+    w = async_io.AsyncWriter()
+    ran = []
+    w.submit(lambda: ran.append(1))
+
+    def boom():
+        raise OSError("disk full")
+
+    w.submit(boom)
+    w.submit(lambda: ran.append(2))
+    with pytest.raises(RuntimeError, match="async observability write failed"):
+        w.close()
+    assert ran == [1, 2]
