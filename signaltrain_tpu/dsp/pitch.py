@@ -51,6 +51,11 @@ def pitch_shift(x: jnp.ndarray, sr: float, n_steps, ft: int = 2048, hop: int = 5
     """
     del sr  # pitch factor is relative; sr kept for API parity
     n = x.shape[-1]
+    if n < 16:
+        # below the smallest analysis frame (ft=32 over the 2N resample
+        # buffer) no vocoder frame fits; identity is the only
+        # length-preserving answer
+        return x
     if n < 4 * ft:
         # short signals (small-geometry training chunks): shrink the frame to
         # a power of two <= n/4 so the vocoder keeps >= ~13 analysis frames

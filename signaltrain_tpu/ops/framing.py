@@ -68,6 +68,11 @@ def _frame_signal_fwd_impl(x, ft_size, hop_size, pad):
     if pad > 0:
         x = jnp.pad(x, ((0, 0), (pad, pad)))
     t = num_frames(x.shape[-1], ft_size, hop_size, 0)
+    if t <= 0:
+        raise ValueError(
+            f"frame_signal: padded signal length {x.shape[-1]} is shorter "
+            f"than ft_size={ft_size}; no full frame fits (pad={pad})"
+        )
     g, n_parts, step_b = _gcd_blocks(ft_size, hop_size)
     if n_parts <= _MAX_SLICE_PARTS:
         # strided-slice framing (see module note): frame i, part j is
@@ -142,6 +147,11 @@ def sliding_window(x: jnp.ndarray, size: int, overlap: int = 0) -> jnp.ndarray:
     """
     step = size - overlap
     length = x.shape[-1]
+    if length <= size:
+        # one zero-padded window (the docstring's tiling contract; without
+        # this, signals shorter than the overlap produce nwin <= 0 and
+        # negative slice limits)
+        return jnp.pad(x, (0, size - length))[None, :]
     remainder = (length - size) % step
     if remainder != 0:
         x = jnp.pad(x, (0, step - remainder))

@@ -99,6 +99,18 @@ def _gemm_bwd(compute_dtype, res, g):
 _gemm.defvjp(_gemm_fwd, _gemm_bwd)
 
 
+def fold_synthesis_weights(w_real, w_imag, half):
+    """Fold the conjugate-symmetric mirror into synthesis weights:
+    full-spectrum channel j in [half, ft) carries bin c = ft - j with
+    re_full[j] = re[c], im_full[j] = -im[c] (cls_fe_dft.py:109-110) — so
+    trainable row ft-c adds onto row c (reversed, negated for imag). ONE
+    definition shared by Synthesis, FNNSynthesis and the fused Pallas path
+    so a fold fix can never desynchronize them."""
+    wr = w_real[:half].at[1 : half - 1].add(jnp.flip(w_real[half:], axis=0))
+    wi = w_imag[:half].at[1 : half - 1].add(-jnp.flip(w_imag[half:], axis=0))
+    return wr, wi
+
+
 def _as_init(arr):
     def init(key, shape, dtype=jnp.float32):
         del key
@@ -173,17 +185,8 @@ class Synthesis(nn.Module):
         self.w_imag = self.param("w_imag", _as_init(im0), (ft, ft))
 
     def _folded_weights(self):
-        # Fold the conjugate-symmetric mirror into the weights:
-        # full-spectrum channel j in [513, 1024) carries bin c = ft - j with
-        # re_full[j] = re[c], im_full[j] = -im[c]  (cls_fe_dft.py:109-110).
         half = self.ft_size // 2 + 1
-        wr = self.w_real[:half].at[1 : half - 1].add(
-            jnp.flip(self.w_real[half:], axis=0)
-        )
-        wi = self.w_imag[:half].at[1 : half - 1].add(
-            -jnp.flip(self.w_imag[half:], axis=0)
-        )
-        return wr, wi
+        return fold_synthesis_weights(self.w_real, self.w_imag, half)
 
     def __call__(self, re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:
         ft, hop = self.ft_size, self.hop_size
@@ -255,8 +258,7 @@ class FNNSynthesis(nn.Module):
             # (cls_fe_dft.py:245-250) == x @ basis; our kernels ARE the basis.
             w_real = self.param("w_real", _as_init(re0.astype("float32")), (ft, ft))
             w_imag = self.param("w_imag", _as_init(im0.astype("float32")), (ft, ft))
-        wr_eff = w_real[:half].at[1 : half - 1].add(jnp.flip(w_real[half:], axis=0))
-        wi_eff = w_imag[:half].at[1 : half - 1].add(-jnp.flip(w_imag[half:], axis=0))
+        wr_eff, wi_eff = fold_synthesis_weights(w_real, w_imag, half)
         spec = jnp.concatenate([re, im], axis=-1)
         w = jnp.concatenate([wr_eff, wi_eff], axis=0)
         return _gemm(spec, w, self.compute_dtype)

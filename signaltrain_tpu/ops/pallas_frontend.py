@@ -15,9 +15,12 @@ These kernels keep the whole chain VMEM-resident:
   VMEM-resident signal tile (framing folded into VMEM addressing — the
   signal is read from HBM once per batch tile), one (BT, ft) @ (ft, 2*CW)
   MXU GEMM in bf16 with f32 accumulation, then magnitude/phase on the VPU in
-  f32. Nothing but x, w, mag, phs touches HBM. The reference computes the
-  same values via two strided Conv1d + norm/atan2 (cls_fe_dft.py:28-58,
-  nn_proc.py:307-310).
+  f32. Inside the kernel nothing but x, w, mag, phs touches HBM; the one
+  residual host-side cost is the caller's jnp.pad of the signal (an extra
+  (B, L+2ft) HBM round-trip, ~0.2 ms at batch 800 — foldable into the
+  kernel's frame addressing with masked edge frames if this path ever
+  defaults on). The reference computes the same values via two strided
+  Conv1d + norm/atan2 (cls_fe_dft.py:28-58, nn_proc.py:307-310).
 
 * fused_synthesis(mag, phs, w): (OT, B, half) -> (B, out_len) waveform.
   re/im = mag*cos/sin(phs) (f32 VPU), per-frame GEMM, overlap-add into a
@@ -64,14 +67,7 @@ def _roundup(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _vma(*args):
-    """Union of the operands' varying-manual-axes — pallas out_shape must
-    declare them when called inside shard_map (same trick as
-    ops/pallas_kernels._smoother_local)."""
-    try:
-        return frozenset().union(*(jax.typeof(a).vma for a in args))
-    except Exception:
-        return frozenset()
+from .pallas_kernels import vma_union as _vma  # shared shard_map helper
 
 
 # Set True to force the Pallas interpreter (CPU test environments).

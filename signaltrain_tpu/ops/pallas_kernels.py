@@ -116,6 +116,19 @@ def _make_kernel(sub: int):
     return _smoother_kernel
 
 
+def vma_union(*args):
+    """Union of the operands' varying-manual-axes: a pallas out_shape must
+    declare which mesh axes it varies over when called inside shard_map.
+    (With check_vma=True AND interpret=True jax's pallas HLO interpreter
+    still trips over vma in its grid loop — a jax-internal limitation; the
+    training shard_map path uses check_vma=False, where both modes work.)
+    Shared by the smoother and the fused front-end (ops/pallas_frontend)."""
+    try:
+        return frozenset().union(*(jax.typeof(a).vma for a in args))
+    except Exception:
+        return frozenset()
+
+
 def _smoother_local(g, alpha_a, alpha_r, interpret: bool):
     """Run the kernel on a (local) batch: pad/relayout, pallas_call, undo."""
     b, n = g.shape
@@ -144,17 +157,7 @@ def _smoother_local(g, alpha_a, alpha_r, interpret: bool):
     aa = vec_layout(alpha_a)
     ar = vec_layout(alpha_r)
 
-    # Under shard_map the out_shape must declare which mesh axes the output
-    # varies over — the union of the inputs' vma sets. (With check_vma=True
-    # AND interpret=True jax's pallas HLO interpreter still trips over vma in
-    # its grid loop — a jax-internal limitation; the training shard_map path
-    # uses check_vma=False, where both modes work.)
-    try:
-        vma = frozenset().union(
-            *(jax.typeof(a).vma for a in (g, alpha_a, alpha_r))
-        )
-    except Exception:
-        vma = frozenset()
+    vma = vma_union(g, alpha_a, alpha_r)
     out_shape = jax.ShapeDtypeStruct((n_pad * sub, nb * LANES), jnp.float32, vma=vma)
 
     grid = (nb, n_pad // t_block)  # time innermost: carry stays on-core

@@ -146,3 +146,30 @@ def test_roundtrip_reconstruction():
     # Edges of the synthesis window are imperfect; interior must be tight.
     interior = err[:, 256:-256]
     assert np.max(interior) < 5e-3, np.max(interior)
+
+
+def test_sliding_window_short_signal():
+    """A signal shorter than (or equal to) the window — even shorter than
+    the overlap — yields ONE zero-padded window, per the tiling contract
+    (previously: negative slice limits -> TypeError)."""
+    out = framing.sliding_window(jnp.arange(2.0), 5, overlap=2)
+    np.testing.assert_array_equal(np.asarray(out), [[0.0, 1.0, 0.0, 0.0, 0.0]])
+    out = framing.sliding_window(jnp.arange(5.0), 5, overlap=2)
+    assert out.shape == (1, 5)
+
+
+def test_frame_signal_too_short_clear_error():
+    import pytest
+
+    with pytest.raises(ValueError, match="shorter than ft_size"):
+        framing.frame_signal(jnp.zeros((1, 100)), 1024, 384, pad=0)
+
+
+def test_pitch_shift_tiny_signal_identity():
+    """Signals below the smallest vocoder frame return unchanged instead of
+    crashing in frame_signal."""
+    from signaltrain_tpu.dsp import pitch
+
+    x = jnp.arange(8.0)
+    out = pitch.pitch_shift(x, 44100, 3.0)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
