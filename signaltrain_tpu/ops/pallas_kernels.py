@@ -230,9 +230,42 @@ def _make_partitioned(interpret: bool):
     return smoother
 
 
+@functools.lru_cache(maxsize=2)
+def _make_vmappable(interpret: bool):
+    """custom_vmap shell around the partitioned smoother.
+
+    custom_partitioning has no batching rule, so a plain vmap over the call
+    (e.g. the ST_TPU_HOIST_DATAGEN path, which vmaps whole-batch datagen over
+    the inner-step group axis) raises NotImplementedError. Rows of the
+    smoother are independent, so the batching rule is exact: flatten the
+    vmapped axis into the kernel's batch dim, run once, reshape back.
+    """
+    part = _make_partitioned(interpret)
+
+    @jax.custom_batching.custom_vmap
+    def smoother(g, alpha_a, alpha_r):
+        return part(g, alpha_a, alpha_r)
+
+    @smoother.def_vmap
+    def _rule(axis_size, in_batched, g, alpha_a, alpha_r):
+        g_b, a_b, r_b = in_batched
+        if not g_b:
+            g = jnp.broadcast_to(g[None], (axis_size,) + g.shape)
+        if not a_b:
+            alpha_a = jnp.broadcast_to(alpha_a[None], (axis_size,) + alpha_a.shape)
+        if not r_b:
+            alpha_r = jnp.broadcast_to(alpha_r[None], (axis_size,) + alpha_r.shape)
+        out = smoother(
+            g.reshape(-1, g.shape[-1]), alpha_a.reshape(-1), alpha_r.reshape(-1)
+        )
+        return out.reshape(g.shape), True
+
+    return smoother
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _call_partitioned(g, alpha_a, alpha_r, interpret: bool):
-    return _make_partitioned(interpret)(g, alpha_a, alpha_r)
+    return _make_vmappable(interpret)(g, alpha_a, alpha_r)
 
 
 def switched_one_pole_batched(g, alpha_a, alpha_r, interpret: bool | None = None):

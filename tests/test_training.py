@@ -299,11 +299,20 @@ def test_grouped_plain_state_conversion_roundtrip():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-def test_hoisted_datagen_bitexact(monkeypatch):
+@pytest.mark.parametrize("pallas_interpret", [False, True])
+def test_hoisted_datagen_bitexact(monkeypatch, pallas_interpret):
     """ST_TPU_HOIST_DATAGEN pre-generates g inner steps' data in one
     vectorized call; the per-example keys are the same, so params and
-    losses must match the per-step formulation bit-for-bit."""
+    losses must match the per-step formulation bit-for-bit.
+
+    pallas_interpret=True routes the compressor's envelope through the real
+    Pallas smoother (interpreter) so the vmap-over-custom_partitioning path
+    the hoist uses executes in CI — on the TPU the smoother is always on this
+    path, and it crashed there while the CPU scan fallback passed (r3)."""
     from signaltrain_tpu.data import synth_data
+    from signaltrain_tpu.ops import pallas_kernels as pk
+
+    monkeypatch.setattr(pk, "FORCE_INTERPRET", pallas_interpret)
     from signaltrain_tpu.models.st_model import ModelSpec, STModel
     from signaltrain_tpu.training import train as trainlib
 
