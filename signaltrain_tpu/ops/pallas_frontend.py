@@ -73,12 +73,20 @@ from .pallas_kernels import vma_union as _vma  # shared shard_map helper
 # Set True to force the Pallas interpreter (CPU test environments).
 FORCE_INTERPRET = False
 
-# Gate for training/train._pick_train_module's frontend='auto': measured on
-# v5e (batch 800, 30x10 steps), the fused front-end alone is a net LOSS —
-# 9.36 vs 8.33 ms/step — because the kernels are VPU-bound (atan2 + sqrt
-# dominate their grid steps) while the XLA path's trig rides fused
-# elementwise chains. Flip to True once the fused-AE kernel lands and the
-# end-to-end Pallas path beats XLA (tracked in docs/ROUND3_NOTES.md).
+# Gate for training/train._pick_train_module's frontend='auto'. Disposition
+# (round 4): this module is a VALIDATED REFERENCE IMPLEMENTATION, not a
+# pending optimization. Measured on v5e (batch 800, 30x10 steps) the fused
+# front-end is a net LOSS — 9.36 vs 8.33 ms/step — because this backend
+# async-offloads XLA's front-end GEMMs off the serial TensorCore stream
+# (docs/PERF_PROFILE.md), so a fused kernel ADDS its GEMM time serially
+# while saving only elementwise/HBM work. The two ideas that were once
+# thought to close the gap are both ruled out by their own measurements:
+# the fused dual-AE kernel probe ran 3.77 ms fwd-only vs ~1 ms visible for
+# the whole XLA AE, and folding the caller's jnp.pad into masked edge-frame
+# addressing saves ~0.2 ms against the ~1.0 ms deficit. Revival requires
+# the backend's offload tax structure to change; until then this stays
+# False and the kernels stay parity-pinned (tests/test_pallas_frontend.py)
+# as the fallback for backends without async GEMM offload.
 PALLAS_TRAIN_DEFAULT = False
 
 # Mosaic implements sin/cos/sqrt/rsqrt/exp/log but NOT atan/atan2 (probed on

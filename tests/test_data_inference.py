@@ -151,6 +151,34 @@ def test_gen_dataset_host_backend(tmp_path):
     np.testing.assert_allclose(y, np.asarray(y2), atol=2e-4)
 
 
+def test_gen_dataset_host_backend_multiworker(tmp_path):
+    """--backend host --workers 2 exercises the spawn + per-worker
+    initializer pool path (cli/gen_dataset.py:_gen_host_data), which the
+    workers=1 test bypasses (VERDICT r3 item 3). Per-task seeding is
+    fold_in(seed, task_start) and the knob table is computed in the parent,
+    so the output must be byte-identical to the single-worker run."""
+    for workers, name in (("1", "w1"), ("2", "w2")):
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "cli", "gen_dataset.py"),
+             name, "--dur", "0.2", "-n", "6", "-e", "comp_4c",
+             "--device-batch", "2", "--backend", "host", "--workers", workers],
+            cwd=tmp_path, env=CPU_ENV, capture_output=True, text=True,
+            timeout=1800,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        assert f"{workers} worker(s)" in out.stdout
+    for split in ("Train", "Val"):
+        w1 = sorted(os.listdir(tmp_path / "w1" / split))
+        w2 = sorted(os.listdir(tmp_path / "w2" / split))
+        assert w1 == w2 and len(w1) >= 2
+        for name in w1:
+            if not name.endswith(".wav"):
+                continue
+            with open(tmp_path / "w1" / split / name, "rb") as f1, \
+                 open(tmp_path / "w2" / split / name, "rb") as f2:
+                assert f1.read() == f2.read(), f"{split}/{name} differs"
+
+
 def test_gen_dataset_pcm16(tmp_path):
     """--pcm16 writes 16-bit wavs whose content matches the float32 output
     of the same seed to within one LSB, at half the bytes."""

@@ -97,6 +97,66 @@ def test_kernel_inside_shard_map():
     np.testing.assert_allclose(np.asarray(f(g, aa, ar)), np.asarray(want), atol=1e-6)
 
 
+class TestCustomVmapRule:
+    """Direct coverage of the custom_vmap batching rule (ADVICE r3): the
+    ST_TPU_HOIST_DATAGEN path vmaps whole-batch datagen over the inner-step
+    group axis, so the rule's flatten-run-reshape must be exact for every
+    batched/unbatched operand combination, non-zero in_axes, and nesting.
+    Oracle: scan-based smoother under the same vmap structure."""
+
+    def _want(self, in_axes, g, aa, ar):
+        return jax.vmap(jax.vmap(iir.switched_one_pole), in_axes=in_axes)(g, aa, ar)
+
+    def test_all_operands_batched(self):
+        g, aa, ar = _case(4, 64, seed=21)
+        G = jnp.stack([g, g * 2, g - 1], axis=0)          # (3, 4, 64)
+        AA = jnp.stack([aa, aa * 0.99, aa * 1.001], axis=0)
+        AR = jnp.stack([ar, ar * 1.001, ar * 0.99], axis=0)
+        got = jax.vmap(lambda a, b, c: pk.switched_one_pole_batched(a, b, c, interpret=True))(G, AA, AR)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(self._want((0, 0, 0), G, AA, AR)), atol=1e-6)
+
+    def test_g_only_batched(self):
+        g, aa, ar = _case(4, 64, seed=22)
+        G = jnp.stack([g, g * 0.5, -g], axis=0)           # (3, 4, 64)
+        got = jax.vmap(
+            lambda a: pk.switched_one_pole_batched(a, aa, ar, interpret=True)
+        )(G)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(self._want((0, None, None), G, aa, ar)), atol=1e-6)
+
+    def test_alphas_only_batched(self):
+        g, aa, ar = _case(4, 64, seed=23)
+        AA = jnp.stack([aa, aa * 0.99], axis=0)           # (2, 4)
+        AR = jnp.stack([ar, ar * 1.001], axis=0)
+        got = jax.vmap(
+            lambda b, c: pk.switched_one_pole_batched(g, b, c, interpret=True),
+        )(AA, AR)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(self._want((None, 0, 0), g, AA, AR)), atol=1e-6)
+
+    def test_nonzero_in_axes(self):
+        g, aa, ar = _case(4, 64, seed=24)
+        G = jnp.stack([g, g * 2, g - 1], axis=1)          # (4, 3, 64): mapped axis 1
+        got = jax.vmap(
+            lambda a: pk.switched_one_pole_batched(a, aa, ar, interpret=True),
+            in_axes=1, out_axes=1,
+        )(G)
+        want = jax.vmap(
+            lambda a: jax.vmap(iir.switched_one_pole)(a, aa, ar),
+            in_axes=1, out_axes=1,
+        )(G)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+    def test_nested_vmap(self):
+        g, aa, ar = _case(4, 48, seed=25)
+        G = jnp.reshape(jnp.stack([g * s for s in (1.0, 0.5, 2.0, -1.0, 0.25, 3.0)]), (2, 3, 4, 48))
+        got = jax.vmap(jax.vmap(
+            lambda a: pk.switched_one_pole_batched(a, aa, ar, interpret=True)
+        ))(G)
+        want = jax.vmap(jax.vmap(
+            lambda a: jax.vmap(iir.switched_one_pole)(a, aa, ar)
+        ))(G)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
 def test_compressor_force_interpret_matches_scan_path():
     """compressor_4controls with the kernel forced on matches the scan path —
     the full effect chain through the real kernel."""
