@@ -94,14 +94,19 @@ def _pick_train_module(model: STModel, mesh, frontend: str = "auto"):
 
 def make_optimizer(lr_max, n_data_points, epochs, batch_size):
     """Adam (torch defaults, weight_decay=0, train.py:228) driven by the
-    closed-form 1cycle schedule. ST_TPU_GROUPED_ADAM=1 swaps in the
-    shape-grouped formulation (same update values, ~8 fused ops instead of
-    ~64 tiny dispatches — see training/grouped_adam.py); opt-in until its
-    step-time win is confirmed on the target backend."""
+    closed-form 1cycle schedule. The shape-grouped formulation
+    (training/grouped_adam.py — same update values, ~8 fused ops instead of
+    ~64 tiny dispatches) is selected ADAPTIVELY: the round-4 on-target A/B
+    (docs/PERF_PROFILE.md "Dispatch levers, measured") put it at -2.3%
+    step time at batch 800 but +1.8% at batch 200, where the per-leaf
+    dispatches hide under the shorter step's offload gaps while the grouped
+    pack/unpack copies do not shrink with batch. ST_TPU_GROUPED_ADAM=1/0
+    forces either way; default 'auto' groups at batch_size >= 512."""
     lr_fn = schedule.one_cycle_fn(
         lr_max=lr_max, n_data_points=n_data_points, epochs=epochs, batch_size=batch_size
     )
-    if os.environ.get("ST_TPU_GROUPED_ADAM") == "1":
+    env = os.environ.get("ST_TPU_GROUPED_ADAM", "auto")
+    if env == "1" or (env not in ("0", "1") and batch_size >= 512):
         from .grouped_adam import grouped_adam
 
         return grouped_adam(lr_fn, b1=0.9, b2=0.999, eps=1e-8), lr_fn
@@ -232,11 +237,17 @@ def make_train_multi_step(model: STModel, tx, batch_fn, batch_size,
     ops_fn = _operands_fn(batch_fn)
 
     # ST_TPU_HOIST_DATAGEN=g synthesizes g inner steps' data in ONE
-    # vectorized call before an inner scan (10x larger datagen ops, 10x
-    # fewer dispatches) instead of per step inside the scan body. The
-    # per-example PRNG keys are identical either way, so training is
-    # bit-identical; memory grows by g*batch*chunk f32 (~330 MB at
-    # batch 800, g=10). Opt-in until its step-time win is measured.
+    # vectorized call before an inner scan (g-fold larger datagen ops,
+    # g-fold fewer dispatches) instead of per step inside the scan body.
+    # The per-example PRNG keys are identical either way, so training is
+    # bit-identical. MEASURED OFF (round-4 on-target A/B, docs/
+    # PERF_PROFILE.md): never faster — flat at g=2, -2.6% at g=5, -77% at
+    # g=10 where g*batch = 8000 examples exceeds the envelope kernel's
+    # 4096-slot single-pass ceiling (ops/pallas_kernels.py _MAX_WIDE) and
+    # the serial chain runs twice. Datagen dispatch inside the fused scan
+    # already overlaps with compute; hoisting removes nothing and adds
+    # g-fold relayout working set. Kept as a bit-exact-tested formulation
+    # for backends where dispatch does serialize.
     hoist = int(os.environ.get("ST_TPU_HOIST_DATAGEN", "0"))
     group = hoist if hoist > 1 and n_inner % hoist == 0 else 1
 

@@ -341,3 +341,33 @@ def test_hoisted_datagen_bitexact(monkeypatch, pallas_interpret):
     np.testing.assert_array_equal(results["0"][1], results["4"][1])
     for a, b in zip(jax.tree.leaves(results["0"][0]), jax.tree.leaves(results["4"][0])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_grouped_adam_auto_default(monkeypatch):
+    """Default optimizer selection is adaptive (round-4 A/B, docs/
+    PERF_PROFILE.md): shape-grouped Adam at batch >= 512 (where it measured
+    -2.3% step time), per-leaf optax.adam below (where grouping measured
+    +1.8%). Explicit ST_TPU_GROUPED_ADAM=1/0 forces either way."""
+    from signaltrain_tpu.models.st_model import ModelSpec, STModel
+    from signaltrain_tpu.training import train as trainlib
+    from signaltrain_tpu.training.grouped_adam import GroupedAdamState
+
+    spec = ModelSpec(
+        scale_factor=512 / 8192.0, shrink_factor=4.0, num_knobs=4, sr=44100,
+        in_chunk_size=512, out_chunk_size=128, ft_size=64, hop_size=24,
+        time_frames=25, output_time_frames=9,
+    )
+    params = STModel(spec).init(jax.random.PRNGKey(0))
+
+    def kind(batch, env=None):
+        if env is None:
+            monkeypatch.delenv("ST_TPU_GROUPED_ADAM", raising=False)
+        else:
+            monkeypatch.setenv("ST_TPU_GROUPED_ADAM", env)
+        tx, _ = trainlib.make_optimizer(1e-4, 200_000, 1000, batch)
+        return isinstance(tx.init(params), GroupedAdamState)
+
+    assert not kind(200)          # reference default batch: per-leaf
+    assert kind(512) and kind(800)  # large batch: grouped
+    assert kind(200, env="1")     # forced on
+    assert not kind(800, env="0")  # forced off
