@@ -419,7 +419,17 @@ def make_eval_scan(model: STModel, val_batch_fn, batch_size, n_val_steps: int,
     """The WHOLE validation pass as one device call: lax.scan over the
     (recycled) val batches, returning per-batch losses, the last batch's MAE
     and the last batch's tensors for plotting — one host round-trip instead
-    of n_val_steps (each costs a relay RTT here)."""
+    of n_val_steps (each costs a relay RTT here).
+
+    Like the train scan (pick_n_inner), the eval scan graph is capped at
+    ST_TPU_N_INNER_CAP steps per compiled call: the reference-default config
+    puts 250 val batches in one epoch's pass (50k points / batch 200) and a
+    250-step fused graph is exactly what wedged the round-3 remote compile
+    service. Past the cap the pass runs as ceil(n/cap) async-dispatched
+    calls of one capped graph (step offset is a runtime arg, so ONE compile)
+    whose loss/mae vectors are concatenated by the returned wrapper —
+    results are consumed one epoch later, so the extra dispatches overlap
+    with the next epoch's training."""
     n_bins = model.spec.ft_size // 2 + 1
     scale = loss_mod.freq_scale(n_bins)
     dsh = meshlib.data_sharding(mesh) if mesh is not None else None
@@ -428,7 +438,12 @@ def make_eval_scan(model: STModel, val_batch_fn, batch_size, n_val_steps: int,
     inv_fn = getattr(val_batch_fn, "make_invariants", None)
     ops_fn = _operands_fn(val_batch_fn)
 
-    def eval_all(params, operands):
+    cap = int(os.environ.get("ST_TPU_N_INNER_CAP", 250))
+    chunk = n_val_steps
+    if n_val_steps > cap:
+        chunk = max(k for k in range(1, cap + 1) if n_val_steps % k == 0)
+
+    def eval_all(params, step0, operands):
         inv = inv_fn() if inv_fn is not None else None
 
         def body(carry, step):
@@ -459,15 +474,28 @@ def make_eval_scan(model: STModel, val_batch_fn, batch_size, n_val_steps: int,
             jnp.zeros((batch_size, spec.time_frames, half)),
             jnp.zeros((batch_size, spec.output_time_frames, half)),
         )
-        last, (losses, maes) = jax.lax.scan(body, init, jnp.arange(n_val_steps))
+        last, (losses, maes) = jax.lax.scan(
+            body, init, step0 + jnp.arange(chunk)
+        )
         # full maes vector out: the caller logs last-batch MAE (reference
         # behavior, train.py:57-59) AND the whole-val-pass mean
         return losses, maes, last
 
-    if ops_fn is None:
-        return jax.jit(functools.partial(eval_all, operands=None))
     jitted = jax.jit(eval_all)
-    return lambda p: jitted(p, ops_fn())
+
+    def run(params):
+        ops = ops_fn() if ops_fn is not None else None
+        parts = [
+            jitted(params, jnp.asarray(s), ops)
+            for s in range(0, n_val_steps, chunk)
+        ]
+        if len(parts) == 1:
+            return parts[0]
+        losses = jnp.concatenate([p[0] for p in parts])
+        maes = jnp.concatenate([p[1] for p in parts])
+        return losses, maes, parts[-1][2]
+
+    return run
 
 
 def train(

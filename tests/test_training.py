@@ -371,3 +371,33 @@ def test_grouped_adam_auto_default(monkeypatch):
     assert kind(512) and kind(800)  # large batch: grouped
     assert kind(200, env="1")     # forced on
     assert not kind(800, env="0")  # forced off
+
+
+def test_eval_scan_chunked_matches_whole(monkeypatch):
+    """The ST_TPU_N_INNER_CAP-capped eval scan (multiple async calls of one
+    compiled chunk graph) must produce the same losses/maes/last-batch
+    tensors as the single whole-pass scan: the val keys are a pure function
+    of (seed, step), so chunking is pure graph-shape surgery."""
+    from signaltrain_tpu.data import synth_data
+    from signaltrain_tpu.models.st_model import ModelSpec, STModel
+    from signaltrain_tpu.training import train as trainlib
+
+    spec = ModelSpec(
+        scale_factor=512 / 8192.0, shrink_factor=4.0, num_knobs=4, sr=44100,
+        in_chunk_size=512, out_chunk_size=128, ft_size=64, hop_size=24,
+        time_frames=25, output_time_frames=9,
+    )
+    model = STModel(spec)
+    effect = effects.Compressor_4c()
+    val_fn = synth_data.make_synth_batch_fn(effect, 512, 128, augment=False)
+    params = model.init(jax.random.PRNGKey(0))
+
+    monkeypatch.delenv("ST_TPU_N_INNER_CAP", raising=False)
+    whole = trainlib.make_eval_scan(model, val_fn, 4, n_val_steps=6)(params)
+    monkeypatch.setenv("ST_TPU_N_INNER_CAP", "2")  # forces 3 chunked calls
+    chunked = trainlib.make_eval_scan(model, val_fn, 4, n_val_steps=6)(params)
+
+    np.testing.assert_array_equal(np.asarray(whole[0]), np.asarray(chunked[0]))
+    np.testing.assert_array_equal(np.asarray(whole[1]), np.asarray(chunked[1]))
+    for a, b in zip(whole[2], chunked[2]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
