@@ -32,6 +32,13 @@ def main():
         "-c", "--compand", help="Turn on to use companded/decompanded audio",
         action="store_true",
     )
+    parser.add_argument(
+        "--pcm16",
+        help="write 16-bit PCM output wavs; the prediction is converted on "
+        "device and delivered as int16 — half the bytes over the host link, "
+        "which bounds end-to-end latency on slow links",
+        action="store_true",
+    )
     args = parser.parse_args()
     print("args =", args)
 
@@ -107,11 +114,40 @@ def main():
             y_st = np.asarray(y_st)
             y_ct = pl.calc_ct(signal, effect, knobs_wc, out_chunk_size, chunk_size)
 
+    # Dispatch the prediction ASYNC (device-resident result): the forward
+    # pass and the device->host transfer then overlap the input/target wav
+    # writing below, instead of serializing ahead of it. With --pcm16 (and
+    # no compand post-processing) the result is converted to int16 on
+    # device — half the bytes over the link, which is a hard ~35 MB/s pipe
+    # on slow hosts (docs/PERF_PROFILE.md "Delivery").
+    pull_int16 = args.pcm16 and not args.compand
     print("\nCalling predict_long()...")
-    y_pred = pl.predict_long(
+    y_pred_dev = pl.predict_long(
         signal, knobs_nn, model, params, chunk_size, out_chunk_size, sr=sr,
-        compand=args.compand,
+        compand=args.compand, return_device=True,
+        out_dtype="int16" if pull_int16 else None,
     )
+
+    def maybe_pcm16(a):
+        if not args.pcm16 or a.dtype == np.int16:
+            return a
+        return (np.clip(a, -1.0, 1.0) * 32767.0).astype(np.int16)
+
+    tagstr = "".join("__" + str(k) for k in knobs_wc)
+    if not args.compand:
+        # input/targets don't depend on the prediction: write them while the
+        # device computes and the prediction transfers (compand defers them —
+        # decompanding is device math that would queue behind the forward)
+        audio_io.write_audio_file(
+            "pl_input" + tagstr + ".wav", maybe_pcm16(signal), sr=44100)
+        if do_target and y_st is not None:
+            audio_io.write_audio_file(
+                "pl_st" + tagstr + ".wav", maybe_pcm16(y_st), sr=44100)
+            if y_ct is not None:
+                audio_io.write_audio_file(
+                    "pl_ct" + tagstr + ".wav", maybe_pcm16(y_ct), sr=44100)
+
+    y_pred = np.asarray(y_pred_dev)  # the only blocking pull
     print("\n...Back. Output: y_pred.shape = ", y_pred.shape)
 
     if do_target and y_st is not None:
@@ -119,21 +155,24 @@ def main():
         print("diff in lengths = ", len(y_st) - len(y_pred))
 
     # zero-pad head to align with input & target (predict_long.py:221-223)
-    y_out = np.zeros(len(signal), dtype=np.float32)
+    y_out = np.zeros(len(signal), dtype=y_pred.dtype)
     y_out[-len(y_pred):] = y_pred
 
     if args.compand:
         print("De-companding outputs")
         signal = np.asarray(mu_decompand(signal))
         y_out = np.asarray(mu_decompand(y_out))
+        audio_io.write_audio_file(
+            "pl_input" + tagstr + ".wav", maybe_pcm16(signal), sr=44100)
+        if do_target and y_st is not None:
+            audio_io.write_audio_file(
+                "pl_st" + tagstr + ".wav", maybe_pcm16(y_st), sr=44100)
+            if y_ct is not None:
+                audio_io.write_audio_file(
+                    "pl_ct" + tagstr + ".wav", maybe_pcm16(y_ct), sr=44100)
 
-    tagstr = "".join("__" + str(k) for k in knobs_wc)
-    audio_io.write_audio_file("pl_input" + tagstr + ".wav", signal, sr=44100)
-    audio_io.write_audio_file("pl_pred" + tagstr + ".wav", y_out, sr=44100)
-    if do_target and y_st is not None:
-        audio_io.write_audio_file("pl_st" + tagstr + ".wav", y_st, sr=44100)
-        if y_ct is not None:
-            audio_io.write_audio_file("pl_ct" + tagstr + ".wav", y_ct, sr=44100)
+    audio_io.write_audio_file(
+        "pl_pred" + tagstr + ".wav", maybe_pcm16(y_out), sr=44100)
     print("Finished.")
 
 

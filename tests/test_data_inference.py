@@ -298,3 +298,47 @@ def test_calc_ct_matches_stream_for_memoryless_gain():
     y_ct = calc_ct(sig, e, kw, 2048, 8192)
     err = np.abs(np.asarray(y_st)[8192:] - y_ct[8192:])
     assert np.mean(err) < 2e-2
+
+
+def test_predict_long_cli_roundtrip(tmp_path):
+    """Drive cli/predict_long.py as a user would (subprocess, CPU): the
+    overlapped-delivery path must still write the reference's artifact set
+    (pl_input/pl_pred/pl_st/pl_ct, knob-tagged, pred zero-padded at the
+    head), and --pcm16 must deliver the same audio as the float path to
+    16-bit quantization. Uses the shipped demo checkpoint (4096->3968)."""
+    from scipy.io import wavfile
+
+    ckpt = os.path.join(REPO, "demo", "model_comp4c_4k.tar")
+    sr = 44100
+    t = np.arange(int(1.2 * sr), dtype=np.float32) / sr
+    sig = (0.4 * np.sin(2 * np.pi * 220.0 * t)).astype(np.float32)
+    audio_io.write_audio_file(str(tmp_path / "clip.wav"), sig, sr=sr)
+
+    def run(workdir, *extra):
+        os.makedirs(workdir, exist_ok=True)
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "cli", "predict_long.py"),
+             ckpt, str(tmp_path / "clip.wav"),
+             "-e", "comp_4c", "--knobs=-20,3,0.005,0.02", *extra],
+            cwd=workdir, env=CPU_ENV, capture_output=True, text=True,
+            timeout=1200,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return {f.split("__")[0]: f for f in os.listdir(workdir)}
+
+    f32 = run(tmp_path / "f32")
+    for stem in ("pl_input", "pl_pred", "pl_st", "pl_ct"):
+        assert stem in f32, f32
+    _, x_in = wavfile.read(str(tmp_path / "f32" / f32["pl_input"]))
+    _, y_f32 = wavfile.read(str(tmp_path / "f32" / f32["pl_pred"]))
+    assert x_in.dtype == np.float32 and y_f32.dtype == np.float32
+    assert len(y_f32) == len(sig)  # head zero-padded to input length
+    assert np.any(y_f32 != 0)
+
+    p16 = run(tmp_path / "p16", "--pcm16")
+    _, x16 = wavfile.read(str(tmp_path / "p16" / p16["pl_input"]))
+    _, y16 = wavfile.read(str(tmp_path / "p16" / p16["pl_pred"]))
+    assert x16.dtype == np.int16 and y16.dtype == np.int16
+    np.testing.assert_allclose(
+        y16.astype(np.float32) / 32767.0, np.clip(y_f32, -1, 1), atol=2 / 32767.0
+    )
