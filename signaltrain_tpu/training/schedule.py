@@ -47,16 +47,23 @@ def one_cycle_lut(lr_max=1e-3, n_data_points=8000, epochs=200, batch_size=40):
 
 def one_cycle_fn(lr_max=1e-3, n_data_points=8000, epochs=200, batch_size=40):
     """Closed-form schedule fn(step) -> lr, identical to indexing the LUT
-    with min(step, n_iter-1) as the train loop does (train.py:108)."""
+    with min(step, n_iter-1) as the train loop does (train.py:108).
+
+    Called with a host scalar (int/float/numpy) it computes in NUMPY: the
+    status-line path evaluates it ~100×/epoch, and on a relay-backed device
+    each eager jnp chain + float() sync costs tens of ms — host math is
+    free. Called with a traced/device value (optax schedule inside jit) it
+    computes in jnp, as before."""
     lr_start, lr_end, n_iter, a1, a2 = _phases(lr_max, n_data_points, epochs, batch_size)
 
     def lr_at(step):
-        i = jnp.minimum(step, n_iter - 1).astype(jnp.float32)
+        xp = np if isinstance(step, (int, float, np.ndarray, np.generic)) else jnp
+        i = xp.asarray(xp.minimum(step, n_iter - 1), dtype=xp.float32)
         # linspace(0, pi, a): element k is pi*k/(a-1)
-        up = (lr_max - lr_start) * (1 - jnp.cos(jnp.pi * i / max(a1 - 1, 1))) / 2 + lr_start
+        up = (lr_max - lr_start) * (1 - xp.cos(xp.pi * i / max(a1 - 1, 1))) / 2 + lr_start
         j = i - a1
-        down = (lr_max - lr_end) * (1 + jnp.cos(jnp.pi * j / max(a2 - 1, 1))) / 2 + lr_end
-        return jnp.where(i < a1, up, down)
+        down = (lr_max - lr_end) * (1 + xp.cos(xp.pi * j / max(a2 - 1, 1))) / 2 + lr_end
+        return xp.where(i < a1, up, down)
 
     return lr_at
 
@@ -68,10 +75,12 @@ def momentum_fn(n_data_points=8000, epochs=200, batch_size=40):
     mom_avg, mom_amp = (mom_min + mom_max) / 2, (mom_max - mom_min) / 2
 
     def mom_at(step):
-        i = jnp.minimum(step, n_iter - 1).astype(jnp.float32)
-        up = mom_avg + mom_amp * jnp.cos(jnp.pi * i / max(a1 - 1, 1))
+        # numpy for host scalars, jnp for traced values (see one_cycle_fn)
+        xp = np if isinstance(step, (int, float, np.ndarray, np.generic)) else jnp
+        i = xp.asarray(xp.minimum(step, n_iter - 1), dtype=xp.float32)
+        up = mom_avg + mom_amp * xp.cos(xp.pi * i / max(a1 - 1, 1))
         j = i - a1
-        down = mom_avg - mom_amp * jnp.cos(jnp.pi * j / max(a2 - 1, 1))
-        return jnp.where(i < a1, up, down)
+        down = mom_avg - mom_amp * xp.cos(xp.pi * j / max(a2 - 1, 1))
+        return xp.where(i < a1, up, down)
 
     return mom_at

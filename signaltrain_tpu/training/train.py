@@ -661,6 +661,19 @@ def train(
     pending = None  # (losses_device_vec, epoch_label, iter0, data_point0)
     pending_eval = None  # one epoch's eval results in flight (device arrays)
     first_time = time.time()
+    # ST_TPU_TIMING=1: per-epoch wall-time breakdown of the dispatch loop
+    # (stderr, one line/epoch) — the observability-overhead instrument
+    timing = os.environ.get("ST_TPU_TIMING", "0") == "1"
+    tacc = {"dispatch": 0.0, "pending": 0.0, "eval": 0.0, "evproc": 0.0,
+            "cp": 0.0}
+
+    def _clock(bucket, fn, *a, **kw):
+        if not timing:
+            return fn(*a, **kw)
+        t0 = time.perf_counter()
+        r = fn(*a, **kw)
+        tacc[bucket] += time.perf_counter() - t0
+        return r
 
     def process_pending(pend):
         # One-call-deep pipeline: the previous call's losses have landed by
@@ -729,20 +742,25 @@ def train(
         for epoch in range(epochs):
             print("")
             data_point = 0
+            if timing:
+                t_ep0 = time.perf_counter()
+                for k in tacc:
+                    tacc[k] = 0.0
             for _ in range(steps_per_epoch // n_inner):
                 if host_data:
                     xb, yb, kb = prefetcher.next()
                     params, opt_state, l = train_step_arr(params, opt_state, xb, yb, kb)
                     losses = jnp.reshape(l, (1,))
                 else:
-                    params, opt_state, losses = multi_step(
-                        params, opt_state, jnp.asarray(iter_count), base_key
+                    params, opt_state, losses = _clock(
+                        "dispatch", multi_step,
+                        params, opt_state, jnp.asarray(iter_count), base_key,
                     )
                 new_pend = (losses, epoch, iter_count, data_point)
                 data_point += batch_size * n_inner
                 iter_count += n_inner
                 if pending is not None:
-                    process_pending(pending)
+                    _clock("pending", process_pending, pending)
                 pending = new_pend
 
             # ---- eval / status / save (train.py:28-80)
@@ -792,9 +810,9 @@ def train(
                 # RESULT is consumed one epoch later (process_eval) so the
                 # train loop never blocks on eval. Drain this epoch's pending
                 # status lines, then last epoch's eval.
-                losses_val, maes_val, last = eval_scan(params)
+                losses_val, maes_val, last = _clock("eval", eval_scan, params)
                 if pending is not None:
-                    process_pending(pending)
+                    _clock("pending", process_pending, pending)
                     pending = None
                 # plot_spectrograms draws the CURRENT front-end weights:
                 # snapshot them device-side now (params will be donated to
@@ -805,8 +823,18 @@ def train(
                     do_val_plot, do_spec_plot, spec_params,
                 )
                 if pending_eval is not None:
-                    process_eval(pending_eval)
+                    _clock("evproc", process_eval, pending_eval)
                 pending_eval = new_eval
+
+            if timing:
+                tot = time.perf_counter() - t_ep0
+                acc = sum(tacc.values())
+                print(
+                    f"\n[timing] epoch {epoch + 1}: total={tot:.2f}s "
+                    + " ".join(f"{k}={v:.2f}" for k, v in tacc.items())
+                    + f" other={tot - acc:.2f}",
+                    file=sys.stderr,
+                )
 
             if ((epoch + 1) % cp_every == 0) or (epoch == epochs - 1):
                 # snapshot device-side (async HBM->HBM copy) on EVERY process

@@ -27,14 +27,33 @@ import traceback
 from typing import Callable
 
 
+_snap_jit = None
+
+
 def snapshot(tree):
     """Device-side copy of every array leaf (async dispatch, returns
     immediately). Safe to fetch from another thread even after the original
-    buffers are donated to a later jit call."""
+    buffers are donated to a later jit call.
+
+    The copy is ONE jitted call over the whole tree, not per-leaf eager
+    jnp.copy: on a relay-backed device each eager dispatch costs tens of
+    ms, and a 40-leaf eager snapshot measured ~6 s of host time
+    (ST_TPU_TIMING, round 4) vs ~ms for the fused call. jit specializes
+    per tree structure; non-array leaves pass through untouched."""
     import jax
     import jax.numpy as jnp
 
-    return jax.tree.map(lambda a: jnp.copy(a) if hasattr(a, "devices") else a, tree)
+    global _snap_jit
+    if _snap_jit is None:
+        _snap_jit = jax.jit(
+            lambda arrs: jax.tree.map(jnp.copy, arrs)
+        )
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    is_arr = [hasattr(a, "devices") for a in leaves]
+    arr_leaves = [a for a, f in zip(leaves, is_arr) if f]
+    copied = iter(_snap_jit(arr_leaves) if arr_leaves else [])
+    new_leaves = [next(copied) if f else a for a, f in zip(leaves, is_arr)]
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 
 class AsyncWriter:
