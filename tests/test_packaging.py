@@ -1,0 +1,31 @@
+"""Packaging parity (reference setup.py:6-13): `pip install -e .` must expose
+`signaltrain_tpu` — pinned here via pyproject parse + package discovery, so a
+module added without an __init__.py (silently dropped from an install) or a
+broken toml fails CI rather than a user's install."""
+
+import os
+import tomllib
+
+import setuptools
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_pyproject_parses_and_discovers_all_subpackages():
+    with open(os.path.join(ROOT, "pyproject.toml"), "rb") as f:
+        cfg = tomllib.load(f)
+    assert cfg["project"]["name"] == "signaltrain-tpu"
+    assert {"jax", "flax", "optax", "numpy", "scipy", "matplotlib"} <= set(
+        d.split(";")[0].strip() for d in cfg["project"]["dependencies"]
+    )
+
+    found = set(
+        setuptools.find_packages(where=ROOT, include=["signaltrain_tpu*"])
+    )
+    # every directory under signaltrain_tpu/ that holds .py files must be a
+    # discoverable package (i.e. have an __init__.py)
+    for dirpath, _dirs, files in os.walk(os.path.join(ROOT, "signaltrain_tpu")):
+        if "__pycache__" in dirpath or not any(f.endswith(".py") for f in files):
+            continue
+        pkg = os.path.relpath(dirpath, ROOT).replace(os.sep, ".")
+        assert pkg in found, f"{pkg} has .py files but is not a discoverable package"
