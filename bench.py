@@ -32,8 +32,8 @@ from signaltrain_tpu.utils.cache import enable_compilation_cache
 BASELINE_AUDIO_SEC_PER_SEC = 200_000 * 1000 * 2048 / 44100 / (10.6 * 3600)
 
 BATCH = 200
-WARMUP = 10
-ITERS = 50
+WARMUP = 4
+ITERS = 12
 
 
 def main():
@@ -53,10 +53,14 @@ def main():
     batch_fn = synth_data.make_synth_batch_fn(
         effect, spec.in_chunk_size, spec.out_chunk_size, sr=spec.sr, augment=True
     )
-    # 10 fused steps per device call, matching train()'s inner loop (host
-    # dispatch here rides a network relay with multi-ms jitter; fusing steps
-    # on device amortizes it, exactly as the real training loop does).
-    n_inner = 10
+    # 50 fused steps per device call — the production inner loop: train()
+    # runs with ST_TPU_N_INNER_CAP=50 on this backend (see pick_n_inner).
+    # Host dispatch rides a network relay with multi-ms jitter; fusing steps
+    # on device amortizes it. Measured A/B vs n_inner=10 (median-of-5 groups,
+    # .scratch/ninner_ab.py): batch 200 2.217->2.176 ms/step, batch 800
+    # 8.058->8.013 — bench now reflects what the measured 45.3-min
+    # reference-default run actually executes.
+    n_inner = 50
     step_fn = trainlib.make_train_multi_step(
         model, tx, batch_fn, BATCH, n_inner, mesh=mesh
     )
@@ -81,7 +85,7 @@ def main():
 
     # larger-batch throughput (the per-chip ceiling; the headline metric
     # stays at the reference's own batch=200 config for honesty)
-    def big_batch(B2, iters=20):
+    def big_batch(B2, iters=10):
         params2 = model.init(jax.random.PRNGKey(0))
         tx2, _ = trainlib.make_optimizer(
             lr_max=1e-4, n_data_points=200_000, epochs=1000, batch_size=B2
@@ -102,7 +106,7 @@ def main():
         return B2 * spec.out_chunk_size / spec.sr / dt2 / max(1, len(jax.devices()))
 
     big_batch_value = big_batch(800)
-    batch1600_value = big_batch(1600, iters=10)
+    batch1600_value = big_batch(1600, iters=5)
 
     # streaming long-audio inference throughput (predict_long, the second
     # half of the BASELINE metric): 60 s of audio through the chunked graph.

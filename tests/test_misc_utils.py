@@ -117,3 +117,35 @@ def test_async_writer_error_propagates_at_close():
     with pytest.raises(RuntimeError, match="async observability write failed"):
         w.close()
     assert ran == [1, 2]
+
+
+def test_snapshot_copies_survive_donation():
+    """snapshot() is the device-side copy behind async plots/checkpoints:
+    the copies must be real (independent of the donated originals), made in
+    ONE fused call (it jit-specializes per tree structure — docs/ROUND4_NOTES
+    relay-RTT fix), and non-array leaves must pass through untouched."""
+    from signaltrain_tpu.utils import async_io
+
+    tree = {
+        "w": jnp.arange(6.0).reshape(2, 3),
+        "b": jnp.ones((4,), jnp.float32),
+        "meta": {"name": "comp_4c", "knobs": 4},
+    }
+    snap = async_io.snapshot(tree)
+    assert snap["meta"] == {"name": "comp_4c", "knobs": 4}
+    np.testing.assert_array_equal(np.asarray(snap["w"]), np.asarray(tree["w"]))
+
+    # donate the originals to an in-place-style jit: the snapshot must not
+    # change (this is exactly the train loop's params-donation hazard)
+    donate = jax.jit(lambda a: a * 0.0, donate_argnums=0)
+    donate(tree["w"])
+    donate(tree["b"])
+    np.testing.assert_array_equal(
+        np.asarray(snap["w"]), np.arange(6.0, dtype=np.float32).reshape(2, 3)
+    )
+    np.testing.assert_array_equal(np.asarray(snap["b"]), np.ones((4,), np.float32))
+
+    # a second, differently-shaped tree re-specializes rather than crashing
+    snap2 = async_io.snapshot([jnp.zeros((2,)), "tag"])
+    assert snap2[1] == "tag"
+    np.testing.assert_array_equal(np.asarray(snap2[0]), np.zeros((2,)))
