@@ -19,6 +19,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+from signaltrain_tpu.data import audio_io
+
 
 def main():
     parser = argparse.ArgumentParser(
@@ -83,12 +85,10 @@ def main():
     gen_synth_data(args)
 
 
-def to_pcm16(a, xp=np):
-    """float [-1,1] -> int16 by ROUNDING (truncation carries a 1-LSB bias vs
-    the int16 data tier's round(), ADVICE r2 #2). One definition shared by
-    the device, infile and host backends so the quantization can never
-    desynchronize between them. xp: numpy or jax.numpy."""
-    return xp.round(xp.clip(a, -1.0, 1.0) * 32767.0).astype(xp.int16)
+# float [-1,1] -> int16 by ROUNDING (ADVICE r2 #2): the single shared
+# definition lives in the library so every producer/consumer quantizes
+# identically (gen_dataset backends, predict_long --pcm16, int16 data tier)
+to_pcm16 = audio_io.to_pcm16
 
 
 def gen_synth_data(args):

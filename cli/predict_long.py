@@ -131,7 +131,7 @@ def main():
     def maybe_pcm16(a):
         if not args.pcm16 or a.dtype == np.int16:
             return a
-        return (np.clip(a, -1.0, 1.0) * 32767.0).astype(np.int16)
+        return audio_io.to_pcm16(a)
 
     tagstr = "".join("__" + str(k) for k in knobs_wc)
     if not args.compand:

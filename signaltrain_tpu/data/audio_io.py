@@ -151,6 +151,15 @@ def resample(signal: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
     return ssig.resample_poly(signal, up, down, window=("kaiser", 5.0))
 
 
+def to_pcm16(a, xp=np):
+    """float [-1,1] -> int16 by ROUNDING (truncation would carry a ~0.5-LSB
+    bias toward zero). THE one definition of the float->int16 quantization,
+    shared by gen_dataset's device/infile/host backends and predict_long's
+    device-side and host-side --pcm16 paths, so the conversion can never
+    desynchronize between them. xp: numpy or jax.numpy."""
+    return xp.round(xp.clip(a, -1.0, 1.0) * 32767.0).astype(xp.int16)
+
+
 def read_audio_file(
     filename: str,
     sr: int = 44100,

@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..data import audio_io
 from ..dsp.compressors import mu_compand
 from ..ops import framing
 
@@ -96,7 +97,8 @@ def predict_long(
 
 @jax.jit
 def _to_pcm16(y):
-    return (jnp.clip(y, -1.0, 1.0) * 32767.0).astype(jnp.int16)
+    # the shared rounded quantization (data/audio_io.py to_pcm16), device-side
+    return audio_io.to_pcm16(y, xp=jnp)
 
 
 def _num_windows(length: int, size: int, overlap: int) -> int:

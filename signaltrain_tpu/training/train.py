@@ -24,7 +24,6 @@ val_data_*.png + spectrogram plots, checkpoint cadence, first-epoch ETA.
 
 from __future__ import annotations
 
-import functools
 import os
 import sys
 import time
@@ -251,6 +250,20 @@ def make_train_multi_step(model: STModel, tx, batch_fn, batch_size,
     hoist = int(os.environ.get("ST_TPU_HOIST_DATAGEN", "0"))
     group = hoist if hoist > 1 and n_inner % hoist == 0 else 1
 
+    # ST_TPU_SCAN_UNROLL=k duplicates the scan body k times per loop
+    # iteration (lax.scan unroll): the traced program is identical, but XLA
+    # can then interleave independent work across adjacent steps (step
+    # i+1's datagen against step i's optimizer) and pays the loop/carry
+    # mechanics once per k steps. Measured A/B at the production inner loop
+    # (n_inner=50, docs/PERF_PROFILE.md): k=2 wins 3.0% at batch 800
+    # (8.018 -> 7.775 ms/step) and ~1% at batch 200 — but the cold compile
+    # on this remote backend ballooned from 57 s (k=1) to 19.2 min (k=2,
+    # n50; 5-8 min at shallower n_inner), so a 3% step win never pays for
+    # itself inside a reference-default run (total 45 min). Default OFF;
+    # opt in where the persistent compilation cache amortizes the compile
+    # across many runs of one geometry.
+    unroll = max(1, int(os.environ.get("ST_TPU_SCAN_UNROLL", "1")))
+
     def local_multi_step(params, opt_state, step0, base_key, operands):
         # loop-invariant precompute (pinknoise cosine table) built once
         # per device call, NOT once per inner step
@@ -288,7 +301,7 @@ def make_train_multi_step(model: STModel, tx, batch_fn, batch_size,
 
         if group == 1:
             (params, opt_state), losses = jax.lax.scan(
-                body, (params, opt_state), jnp.arange(n_inner)
+                body, (params, opt_state), jnp.arange(n_inner), unroll=unroll
             )
             return params, opt_state, losses
 
@@ -305,7 +318,9 @@ def make_train_multi_step(model: STModel, tx, batch_fn, batch_size,
                 lg = jax.value_and_grad(loss_fn)(c[0], x, y, knobs)
                 return update(c, lg)
 
-            return jax.lax.scan(inner, carry, data)
+            # same unroll lever as the group==1 path, applied to the
+            # step-level scan (the outer scan's body is already g steps)
+            return jax.lax.scan(inner, carry, data, unroll=unroll)
 
         (params, opt_state), losses = jax.lax.scan(
             body_grouped, (params, opt_state), jnp.arange(0, n_inner, group)
@@ -426,10 +441,18 @@ def make_eval_scan(model: STModel, val_batch_fn, batch_size, n_val_steps: int,
     puts 250 val batches in one epoch's pass (50k points / batch 200) and a
     250-step fused graph is exactly what wedged the round-3 remote compile
     service. Past the cap the pass runs as ceil(n/cap) async-dispatched
-    calls of one capped graph (step offset is a runtime arg, so ONE compile)
-    whose loss/mae vectors are concatenated by the returned wrapper —
-    results are consumed one epoch later, so the extra dispatches overlap
-    with the next epoch's training."""
+    calls of ONE capped graph (step offset is a runtime arg, so one compile
+    — compiles are minutes on this remote backend). When cap does not
+    divide n the LAST call's window is slid back to end at step n-1,
+    recomputing up to cap-1 steps whose duplicate outputs are discarded:
+    a step's output is a pure function of (seed, step) and of ONE compiled
+    scan body, so the dedup is exact; agreement with the uncapped
+    whole-pass graph is ulp-level (a different scan length re-fuses
+    differently). The per-call step count never degenerates (a
+    divisor-based split fell to 1-step calls for prime n) and no second
+    remainder graph is compiled. Loss/mae vectors are
+    concatenated by the returned wrapper; results are consumed one epoch
+    later, so the extra dispatches overlap with the next epoch's training."""
     n_bins = model.spec.ft_size // 2 + 1
     scale = loss_mod.freq_scale(n_bins)
     dsh = meshlib.data_sharding(mesh) if mesh is not None else None
@@ -438,10 +461,8 @@ def make_eval_scan(model: STModel, val_batch_fn, batch_size, n_val_steps: int,
     inv_fn = getattr(val_batch_fn, "make_invariants", None)
     ops_fn = _operands_fn(val_batch_fn)
 
-    cap = int(os.environ.get("ST_TPU_N_INNER_CAP", 250))
-    chunk = n_val_steps
-    if n_val_steps > cap:
-        chunk = max(k for k in range(1, cap + 1) if n_val_steps % k == 0)
+    cap = max(1, int(os.environ.get("ST_TPU_N_INNER_CAP", 250)))
+    chunk = min(cap, n_val_steps)
 
     def eval_all(params, step0, operands):
         inv = inv_fn() if inv_fn is not None else None
@@ -483,17 +504,25 @@ def make_eval_scan(model: STModel, val_batch_fn, batch_size, n_val_steps: int,
 
     jitted = jax.jit(eval_all)
 
+    # call starts: full chunks, then (cap not dividing n) one overlapped
+    # call slid back to end at step n-1 — same compiled graph, the first
+    # (chunk - tail) of its outputs are duplicates and dropped below
+    starts = list(range(0, n_val_steps - chunk + 1, chunk))
+    if starts[-1] + chunk < n_val_steps:
+        starts.append(n_val_steps - chunk)
+
     def run(params):
         ops = ops_fn() if ops_fn is not None else None
-        parts = [
-            jitted(params, jnp.asarray(s), ops)
-            for s in range(0, n_val_steps, chunk)
-        ]
+        parts = [jitted(params, jnp.asarray(s), ops) for s in starts]
         if len(parts) == 1:
             return parts[0]
-        losses = jnp.concatenate([p[0] for p in parts])
-        maes = jnp.concatenate([p[1] for p in parts])
-        return losses, maes, parts[-1][2]
+        losses, maes, end = [], [], 0
+        for s, p in zip(starts, parts):
+            keep = s + chunk - end  # steps this call contributes (not dup'd)
+            losses.append(p[0][chunk - keep:])
+            maes.append(p[1][chunk - keep:])
+            end = s + chunk
+        return jnp.concatenate(losses), jnp.concatenate(maes), parts[-1][2]
 
     return run
 
@@ -826,16 +855,6 @@ def train(
                     _clock("evproc", process_eval, pending_eval)
                 pending_eval = new_eval
 
-            if timing:
-                tot = time.perf_counter() - t_ep0
-                acc = sum(tacc.values())
-                print(
-                    f"\n[timing] epoch {epoch + 1}: total={tot:.2f}s "
-                    + " ".join(f"{k}={v:.2f}" for k, v in tacc.items())
-                    + f" other={tot - acc:.2f}",
-                    file=sys.stderr,
-                )
-
             if ((epoch + 1) % cp_every == 0) or (epoch == epochs - 1):
                 # snapshot device-side (async HBM->HBM copy) on EVERY process
                 # (multi-host SPMD discipline, see above; with data-parallel
@@ -843,12 +862,16 @@ def train(
                 # local shards), then serialize and write on the background
                 # thread of the primary only — the train loop keeps
                 # dispatching while the worker blocks on the transfer
-                p_snap = async_io.snapshot(params)
-                o_snap = async_io.snapshot(opt_state)
-                if grouped:  # canonical per-leaf wire format (see restore)
-                    o_snap = galib.to_plain_state(
-                        p_snap, o_snap, plain_opt_template
-                    )
+                def snap_cp():
+                    p_snap = async_io.snapshot(params)
+                    o_snap = async_io.snapshot(opt_state)
+                    if grouped:  # canonical per-leaf wire format (see restore)
+                        o_snap = galib.to_plain_state(
+                            p_snap, o_snap, plain_opt_template
+                        )
+                    return p_snap, o_snap
+
+                p_snap, o_snap = _clock("cp", snap_cp)
 
                 def save_cp(p=p_snap, o=o_snap, ep=epoch, it=iter_count):
                     checkpoint.save_checkpoint(
@@ -858,6 +881,16 @@ def train(
 
                 if primary:
                     writer.submit(save_cp)
+
+            if timing:
+                tot = time.perf_counter() - t_ep0
+                acc = sum(tacc.values())
+                print(
+                    f"\n[timing] epoch {epoch + 1}: total={tot:.2f}s "
+                    + " ".join(f"{k}={v:.2f}" for k, v in tacc.items())
+                    + f" other={tot - acc:.2f}",
+                    file=sys.stderr,
+                )
 
             if epoch == 0:
                 secs_left = (time.time() - first_time) * (epochs - 1)

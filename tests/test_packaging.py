@@ -4,9 +4,13 @@ module added without an __init__.py (silently dropped from an install) or a
 broken toml fails CI rather than a user's install."""
 
 import os
-import tomllib
 
+import pytest
 import setuptools
+
+# tomllib is 3.11+; the package supports 3.10 (pyproject requires-python),
+# so on 3.10 skip the toml-parse assertions instead of breaking collection
+tomllib = pytest.importorskip("tomllib")
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

@@ -343,6 +343,46 @@ def test_hoisted_datagen_bitexact(monkeypatch, pallas_interpret):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_scan_unroll_equivalent(monkeypatch):
+    """ST_TPU_SCAN_UNROLL=k duplicates the fused scan body k times per loop
+    iteration (lax.scan unroll) — the traced program is identical, but XLA
+    re-fuses the duplicated body, so results match the unroll=1 formulation
+    only to ulp-level reassociation noise (measured max rel diff ~1e-7 on
+    CPU), including when n_inner is not a multiple of k (remainder path)."""
+    from signaltrain_tpu.data import synth_data
+    from signaltrain_tpu.models.st_model import ModelSpec, STModel
+    from signaltrain_tpu.training import train as trainlib
+
+    spec = ModelSpec(
+        scale_factor=512 / 8192.0, shrink_factor=4.0, num_knobs=4, sr=44100,
+        in_chunk_size=512, out_chunk_size=128, ft_size=64, hop_size=24,
+        time_frames=25, output_time_frames=9,
+    )
+    effect = effects.Compressor_4c()
+    model = STModel(spec)
+    batch_fn = synth_data.make_synth_batch_fn(effect, 512, 128)
+    tx, _ = trainlib.make_optimizer(1e-4, 256, 2, 8)
+    key = jax.random.PRNGKey(5)
+    params0 = model.init(jax.random.PRNGKey(0))
+
+    results = {}
+    for flag in ("1", "2", "3"):  # 3 does not divide n_inner=4: remainder path
+        monkeypatch.setenv("ST_TPU_SCAN_UNROLL", flag)
+        step = trainlib.make_train_multi_step(model, tx, batch_fn, 8, n_inner=4)
+        p = jax.tree.map(jnp.copy, params0)
+        o = tx.init(p)
+        p, o, losses = step(p, o, jnp.asarray(0), key)
+        results[flag] = (p, np.asarray(losses))
+
+    for flag in ("2", "3"):
+        np.testing.assert_allclose(results["1"][1], results[flag][1],
+                                   rtol=1e-5, atol=1e-9)
+        for a, b in zip(jax.tree.leaves(results["1"][0]),
+                        jax.tree.leaves(results[flag][0])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-9)
+
+
 def test_grouped_adam_auto_default(monkeypatch):
     """Default optimizer selection is adaptive (round-4 A/B, docs/
     PERF_PROFILE.md): shape-grouped Adam at batch >= 512 (where it measured
@@ -375,9 +415,12 @@ def test_grouped_adam_auto_default(monkeypatch):
 
 def test_eval_scan_chunked_matches_whole(monkeypatch):
     """The ST_TPU_N_INNER_CAP-capped eval scan (multiple async calls of one
-    compiled chunk graph) must produce the same losses/maes/last-batch
-    tensors as the single whole-pass scan: the val keys are a pure function
-    of (seed, step), so chunking is pure graph-shape surgery."""
+    compiled chunk graph, last call slid back to cover a non-multiple n)
+    must produce the same losses/maes/last-batch tensors as the single
+    whole-pass scan. Val keys are a pure function of (seed, step), so the
+    overlap dedup is EXACT within one compiled graph; the whole-pass graph
+    has a different scan length and re-fuses at ulp level, hence allclose
+    against it but array_equal across chunked variants."""
     from signaltrain_tpu.data import synth_data
     from signaltrain_tpu.models.st_model import ModelSpec, STModel
     from signaltrain_tpu.training import train as trainlib
@@ -393,11 +436,30 @@ def test_eval_scan_chunked_matches_whole(monkeypatch):
     params = model.init(jax.random.PRNGKey(0))
 
     monkeypatch.delenv("ST_TPU_N_INNER_CAP", raising=False)
-    whole = trainlib.make_eval_scan(model, val_fn, 4, n_val_steps=6)(params)
-    monkeypatch.setenv("ST_TPU_N_INNER_CAP", "2")  # forces 3 chunked calls
-    chunked = trainlib.make_eval_scan(model, val_fn, 4, n_val_steps=6)(params)
+    whole = trainlib.make_eval_scan(model, val_fn, 4, n_val_steps=7)(params)
+    # prime n=7 at cap 2: 3 full calls + one overlapped call ending at step 6
+    monkeypatch.setenv("ST_TPU_N_INNER_CAP", "2")
+    chunked = trainlib.make_eval_scan(model, val_fn, 4, n_val_steps=7)(params)
 
-    np.testing.assert_array_equal(np.asarray(whole[0]), np.asarray(chunked[0]))
-    np.testing.assert_array_equal(np.asarray(whole[1]), np.asarray(chunked[1]))
+    np.testing.assert_allclose(np.asarray(whole[0]), np.asarray(chunked[0]),
+                               rtol=1e-5, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(whole[1]), np.asarray(chunked[1]),
+                               rtol=1e-5, atol=1e-9)
     for a, b in zip(whole[2], chunked[2]):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-8)
+
+    # overlap-dedup exactness: n=6 at the same cap runs the SAME compiled
+    # 2-step graph with no overlap, so steps 0-5 must match n=7's bit-for-bit
+    # (the slid last call contributed only step 6)
+    chunked6 = trainlib.make_eval_scan(model, val_fn, 4, n_val_steps=6)(params)
+    np.testing.assert_array_equal(np.asarray(chunked[0][:6]),
+                                  np.asarray(chunked6[0]))
+    np.testing.assert_array_equal(np.asarray(chunked[1][:6]),
+                                  np.asarray(chunked6[1]))
+
+    # cap<=0 clamps to 1 instead of crashing
+    monkeypatch.setenv("ST_TPU_N_INNER_CAP", "0")
+    clamped = trainlib.make_eval_scan(model, val_fn, 4, n_val_steps=7)(params)
+    np.testing.assert_allclose(np.asarray(whole[0]), np.asarray(clamped[0]),
+                               rtol=1e-5, atol=1e-9)
