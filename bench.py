@@ -53,13 +53,14 @@ def main():
     batch_fn = synth_data.make_synth_batch_fn(
         effect, spec.in_chunk_size, spec.out_chunk_size, sr=spec.sr, augment=True
     )
-    # 50 fused steps per device call — the production inner loop: train()
-    # runs with ST_TPU_N_INNER_CAP=50 on this backend (see pick_n_inner).
-    # Host dispatch rides a network relay with multi-ms jitter; fusing steps
-    # on device amortizes it. Measured A/B vs n_inner=10 (median-of-5 groups,
-    # .scratch/ninner_ab.py): batch 200 2.217->2.176 ms/step, batch 800
-    # 8.058->8.013 — bench now reflects what the measured 45.3-min
-    # reference-default run actually executes.
+    # 50 fused steps per device call — what the measured 45.3-min
+    # reference-default run executes (it sets ST_TPU_N_INNER_CAP=50, the
+    # remote-compile cap from the round-3 outage post-mortem; train()'s
+    # out-of-the-box default cap is 250, which this backend's compile
+    # service cannot build). Host dispatch rides a network relay with
+    # multi-ms jitter; fusing steps on device amortizes it. Measured A/B
+    # vs n_inner=10 (median-of-5 groups, .scratch/ninner_ab.py): batch 200
+    # 2.217->2.176 ms/step, batch 800 8.058->8.013.
     n_inner = 50
     step_fn = trainlib.make_train_multi_step(
         model, tx, batch_fn, BATCH, n_inner, mesh=mesh

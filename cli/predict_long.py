@@ -134,18 +134,23 @@ def main():
         return audio_io.to_pcm16(a)
 
     tagstr = "".join("__" + str(k) for k in knobs_wc)
-    if not args.compand:
-        # input/targets don't depend on the prediction: write them while the
-        # device computes and the prediction transfers (compand defers them —
-        # decompanding is device math that would queue behind the forward)
+
+    def write_artifacts(sig):
+        # the input/streamed-target/chunked-target wavs (not the prediction)
         audio_io.write_audio_file(
-            "pl_input" + tagstr + ".wav", maybe_pcm16(signal), sr=44100)
+            "pl_input" + tagstr + ".wav", maybe_pcm16(sig), sr=44100)
         if do_target and y_st is not None:
             audio_io.write_audio_file(
                 "pl_st" + tagstr + ".wav", maybe_pcm16(y_st), sr=44100)
             if y_ct is not None:
                 audio_io.write_audio_file(
                     "pl_ct" + tagstr + ".wav", maybe_pcm16(y_ct), sr=44100)
+
+    if not args.compand:
+        # input/targets don't depend on the prediction: write them while the
+        # device computes and the prediction transfers (compand defers them —
+        # decompanding is device math that would queue behind the forward)
+        write_artifacts(signal)
 
     y_pred = np.asarray(y_pred_dev)  # the only blocking pull
     print("\n...Back. Output: y_pred.shape = ", y_pred.shape)
@@ -162,14 +167,7 @@ def main():
         print("De-companding outputs")
         signal = np.asarray(mu_decompand(signal))
         y_out = np.asarray(mu_decompand(y_out))
-        audio_io.write_audio_file(
-            "pl_input" + tagstr + ".wav", maybe_pcm16(signal), sr=44100)
-        if do_target and y_st is not None:
-            audio_io.write_audio_file(
-                "pl_st" + tagstr + ".wav", maybe_pcm16(y_st), sr=44100)
-            if y_ct is not None:
-                audio_io.write_audio_file(
-                    "pl_ct" + tagstr + ".wav", maybe_pcm16(y_ct), sr=44100)
+        write_artifacts(signal)
 
     audio_io.write_audio_file(
         "pl_pred" + tagstr + ".wav", maybe_pcm16(y_out), sr=44100)

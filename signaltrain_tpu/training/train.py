@@ -462,7 +462,7 @@ def make_eval_scan(model: STModel, val_batch_fn, batch_size, n_val_steps: int,
     ops_fn = _operands_fn(val_batch_fn)
 
     cap = max(1, int(os.environ.get("ST_TPU_N_INNER_CAP", 250)))
-    chunk = min(cap, n_val_steps)
+    chunk = min(cap, max(0, n_val_steps))
 
     def eval_all(params, step0, operands):
         inv = inv_fn() if inv_fn is not None else None
@@ -506,10 +506,15 @@ def make_eval_scan(model: STModel, val_batch_fn, batch_size, n_val_steps: int,
 
     # call starts: full chunks, then (cap not dividing n) one overlapped
     # call slid back to end at step n-1 — same compiled graph, the first
-    # (chunk - tail) of its outputs are duplicates and dropped below
-    starts = list(range(0, n_val_steps - chunk + 1, chunk))
-    if starts[-1] + chunk < n_val_steps:
-        starts.append(n_val_steps - chunk)
+    # (chunk - tail) of its outputs are duplicates and dropped below.
+    # n_val_steps=0 keeps its pre-chunking semantics: one empty-scan call
+    # returning length-0 losses/maes (and the zero-init "last" tensors).
+    if chunk > 0:
+        starts = list(range(0, n_val_steps - chunk + 1, chunk))
+        if starts[-1] + chunk < n_val_steps:
+            starts.append(n_val_steps - chunk)
+    else:
+        starts = [0]
 
     def run(params):
         ops = ops_fn() if ops_fn is not None else None
@@ -694,7 +699,7 @@ def train(
     # (stderr, one line/epoch) — the observability-overhead instrument
     timing = os.environ.get("ST_TPU_TIMING", "0") == "1"
     tacc = {"dispatch": 0.0, "pending": 0.0, "eval": 0.0, "evproc": 0.0,
-            "cp": 0.0}
+            "cp": 0.0, "fetch": 0.0}  # fetch: host_data prefetcher waits
 
     def _clock(bucket, fn, *a, **kw):
         if not timing:
@@ -777,8 +782,10 @@ def train(
                     tacc[k] = 0.0
             for _ in range(steps_per_epoch // n_inner):
                 if host_data:
-                    xb, yb, kb = prefetcher.next()
-                    params, opt_state, l = train_step_arr(params, opt_state, xb, yb, kb)
+                    xb, yb, kb = _clock("fetch", prefetcher.next)
+                    params, opt_state, l = _clock(
+                        "dispatch", train_step_arr, params, opt_state, xb, yb, kb
+                    )
                     losses = jnp.reshape(l, (1,))
                 else:
                     params, opt_state, losses = _clock(
@@ -806,14 +813,22 @@ def train(
             do_spec_plot = primary and do_spec_plot_c
             if host_data:
                 if pending is not None:
-                    process_pending(pending)
+                    _clock("pending", process_pending, pending)
                     pending = None
                 last = None
                 vrng = val_rng_factory()
-                for v in range(val_steps):
-                    xb, yb, kb = val_ds.host_batch(batch_size, vrng)
-                    loss_val, val_mae, last = eval_step_arr(params, xb, yb, kb)
-                    vl_avg = beta * vl_avg + (1 - beta) * float(loss_val)
+
+                def val_pass():
+                    nonlocal last, vl_avg
+                    loss_val = val_mae = None
+                    for v in range(val_steps):
+                        xb, yb, kb = val_ds.host_batch(batch_size, vrng)
+                        loss_val, val_mae, lst = eval_step_arr(params, xb, yb, kb)
+                        vl_avg = beta * vl_avg + (1 - beta) * float(loss_val)
+                        last = lst
+                    return loss_val, val_mae
+
+                loss_val, val_mae = _clock("eval", val_pass)
                 if primary:
                     with open(logfilename, "a") as f:
                         f.write(f"{epoch + 1} {vl_avg:.3e}\n")

@@ -8,14 +8,14 @@ import os
 import pytest
 import setuptools
 
-# tomllib is 3.11+; the package supports 3.10 (pyproject requires-python),
-# so on 3.10 skip the toml-parse assertions instead of breaking collection
-tomllib = pytest.importorskip("tomllib")
-
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_pyproject_parses_and_discovers_all_subpackages():
+def test_pyproject_parses():
+    # tomllib is 3.11+; the package supports 3.10 (pyproject requires-python),
+    # so on 3.10 only the toml-parse assertions are skipped — package
+    # discovery below still runs everywhere
+    tomllib = pytest.importorskip("tomllib")
     with open(os.path.join(ROOT, "pyproject.toml"), "rb") as f:
         cfg = tomllib.load(f)
     assert cfg["project"]["name"] == "signaltrain-tpu"
@@ -23,6 +23,8 @@ def test_pyproject_parses_and_discovers_all_subpackages():
         d.split(";")[0].strip() for d in cfg["project"]["dependencies"]
     )
 
+
+def test_discovers_all_subpackages():
     found = set(
         setuptools.find_packages(where=ROOT, include=["signaltrain_tpu*"])
     )

@@ -463,3 +463,11 @@ def test_eval_scan_chunked_matches_whole(monkeypatch):
     clamped = trainlib.make_eval_scan(model, val_fn, 4, n_val_steps=7)(params)
     np.testing.assert_allclose(np.asarray(whole[0]), np.asarray(clamped[0]),
                                rtol=1e-5, atol=1e-9)
+
+    # n_val_steps=0 keeps its pre-chunking semantics (one empty-scan call,
+    # length-0 losses/maes) instead of crashing at factory time — the
+    # factory is re-exported for external callers via the facade
+    monkeypatch.delenv("ST_TPU_N_INNER_CAP", raising=False)
+    empty = trainlib.make_eval_scan(model, val_fn, 4, n_val_steps=0)(params)
+    assert np.asarray(empty[0]).shape == (0,)
+    assert np.asarray(empty[1]).shape == (0,)
