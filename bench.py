@@ -54,10 +54,9 @@ def main():
         effect, spec.in_chunk_size, spec.out_chunk_size, sr=spec.sr, augment=True
     )
     # 50 fused steps per device call — what the measured 45.3-min
-    # reference-default run executes (it sets ST_TPU_N_INNER_CAP=50, the
-    # remote-compile cap from the round-3 outage post-mortem; train()'s
-    # out-of-the-box default cap is 250, which this backend's compile
-    # service cannot build). Host dispatch rides a network relay with
+    # reference-default run executes, and (since round 5) train()'s
+    # out-of-the-box default cap (a 250-step fused graph is what wedged the
+    # round-3 remote compile service). Host dispatch rides a network relay with
     # multi-ms jitter; fusing steps on device amortizes it. Measured A/B
     # vs n_inner=10 (median-of-5 groups, .scratch/ninner_ab.py): batch 200
     # 2.217->2.176 ms/step, batch 800 8.058->8.013.
@@ -67,26 +66,58 @@ def main():
     )
 
     key = jax.random.PRNGKey(1)
-    step = 0
+    state = {"step": 0, "loss": 0.0}
+
+    def timed_blocks(step_fn, params, opt_state, n_calls, n_blocks=3):
+        """Median-of-blocks step time (ADVICE r4 #1): the single-block
+        measurement is exposed to the relay's multi-ms hiccups, so the SAME
+        block shape as prior rounds is repeated n_blocks times and the
+        median per-step time reported with its spread. Each block ends in a
+        data-dependent scalar pull (block_until_ready can return before the
+        computation ran on this backend)."""
+        times = []
+        for _ in range(n_blocks):
+            t0 = time.perf_counter()
+            for _ in range(n_calls):
+                params, opt_state, losses = step_fn(
+                    params, opt_state, jnp.asarray(state["step"]), key
+                )
+                state["step"] += n_inner
+            state["loss"] = float(losses[-1])  # data-dependent sync
+            times.append((time.perf_counter() - t0) / (n_calls * n_inner))
+        times.sort()
+        med = times[len(times) // 2]
+        spread = (times[-1] - times[0]) / med
+        return med, spread, params, opt_state
+
     for _ in range(WARMUP):
-        params, opt_state, losses = step_fn(params, opt_state, jnp.asarray(step), key)
-        step += n_inner
+        params, opt_state, losses = step_fn(
+            params, opt_state, jnp.asarray(state["step"]), key
+        )
+        state["step"] += n_inner
     jax.block_until_ready(losses)
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        params, opt_state, losses = step_fn(params, opt_state, jnp.asarray(step), key)
-        step += n_inner
-    loss = float(losses[-1])  # data-dependent sync (see pipelined_time note)
-    dt = (time.perf_counter() - t0) / (ITERS * n_inner)
+    dt, dt_spread, params, opt_state = timed_blocks(
+        step_fn, params, opt_state, ITERS
+    )
+    loss = state["loss"]
 
     n_chips = max(1, len(jax.devices()))
     audio_sec_per_step = BATCH * spec.out_chunk_size / spec.sr
     value = audio_sec_per_step / dt / n_chips
 
+    # MFU anchor (VERDICT r4 missing #3): model train FLOPs (3x the forward
+    # GEMMs, utils/flops.py) over the measured step time, against the chip's
+    # bf16 peak. Most of what is NOT in this number (datagen cosine-GEMMs,
+    # the serial envelope scan, VPU trig) is not MXU-addressable for this
+    # 4.2M-param model — see docs/PERF_PROFILE.md "Roofline decomposition".
+    from signaltrain_tpu.utils import flops as flopslib
+
+    achieved, mfu = flopslib.mfu(spec, examples_per_sec=BATCH / dt)
+
     # larger-batch throughput (the per-chip ceiling; the headline metric
     # stays at the reference's own batch=200 config for honesty)
-    def big_batch(B2, iters=10):
+    def big_batch(B2, iters=10, blocks=3):
         params2 = model.init(jax.random.PRNGKey(0))
         tx2, _ = trainlib.make_optimizer(
             lr_max=1e-4, n_data_points=200_000, epochs=1000, batch_size=B2
@@ -98,16 +129,21 @@ def main():
             params2, opt2, l2 = step2(params2, opt2, jnp.asarray(s), key)
             s += n_inner
         jax.block_until_ready(l2)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            params2, opt2, l2 = step2(params2, opt2, jnp.asarray(s), key)
-            s += n_inner
-        float(l2[-1])  # data-dependent sync
-        dt2 = (time.perf_counter() - t0) / (iters * n_inner)
-        return B2 * spec.out_chunk_size / spec.sr / dt2 / max(1, len(jax.devices()))
+        times = []
+        for _ in range(blocks):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                params2, opt2, l2 = step2(params2, opt2, jnp.asarray(s), key)
+                s += n_inner
+            float(l2[-1])  # data-dependent sync
+            times.append((time.perf_counter() - t0) / (iters * n_inner))
+        dt2 = sorted(times)[len(times) // 2]
+        thr = B2 * spec.out_chunk_size / spec.sr / dt2 / max(1, len(jax.devices()))
+        return thr, dt2
 
-    big_batch_value = big_batch(800)
-    batch1600_value = big_batch(1600, iters=5)
+    big_batch_value, dt800 = big_batch(800)
+    batch1600_value, _ = big_batch(1600, iters=5)
+    _, mfu800 = flopslib.mfu(spec, examples_per_sec=800 / dt800)
 
     # streaming long-audio inference throughput (predict_long, the second
     # half of the BASELINE metric): 60 s of audio through the chunked graph.
@@ -212,6 +248,10 @@ def main():
                 "unit": "audio-sec/sec/chip",
                 "vs_baseline": round(value / BASELINE_AUDIO_SEC_PER_SEC, 3),
                 "step_ms": round(dt * 1e3, 2),
+                "step_ms_spread_frac": round(dt_spread, 3),
+                "achieved_tflops": round(achieved / 1e12, 2),
+                **({"mfu": round(mfu, 4)} if mfu is not None else {}),
+                **({"mfu_batch800": round(mfu800, 4)} if mfu800 is not None else {}),
                 "final_loss": float(loss),
                 "batch800_audio_sec_per_sec": round(big_batch_value, 1),
                 "batch1600_audio_sec_per_sec": round(batch1600_value, 1),

@@ -42,6 +42,25 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def state_shardings(mesh: Mesh, state):
+    """Sharding tree for optimizer state built by tx.init(params): array
+    leaves inherit the params' mesh shardings through zeros_like, but scalar
+    counters (optax's `count`) are created fresh and land UNCOMMITTED on the
+    default device. Committing a restored state to those raw shardings pins
+    count to one device while params live on the mesh, and the jitted step
+    raises 'incompatible devices' (round-5 mesh-resume bug, caught by
+    tests/test_mesh_elastic.py). Normalize: keep NamedShardings on this
+    mesh, replicate everything else."""
+
+    def fix(x):
+        sh = getattr(x, "sharding", None)
+        if isinstance(sh, NamedSharding) and sh.mesh == mesh:
+            return sh
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(fix, state)
+
+
 def param_shardings(mesh: Mesh, params):
     """Sharding tree for the model params: front-end (ft, ft) matrices are
     sharded over the 'model' axis (output/channel rows); everything else

@@ -330,19 +330,20 @@ def make_train_multi_step(model: STModel, tx, batch_fn, batch_size,
     return _jit_sharded_step(local_multi_step, shard_kw, ops_fn)
 
 
-def pick_n_inner(steps_per_epoch: int, status_every: int, cap: int = 250) -> int:
+def pick_n_inner(steps_per_epoch: int, status_every: int, cap: int = 50) -> int:
     """Fused steps per device call: the largest k <= cap that divides the
     epoch and aligns with the status cadence. Host dispatch on this harness
     rides a network relay with ~100 ms jittery RTTs; at ~1-3 ms device step
-    time the relay dominates unless O(100) steps ride one call. Status lines
-    keep the reference's every-10-batches cadence — they are printed from the
-    per-step losses vector the fused call returns.
+    time the relay dominates unless O(10-100) steps ride one call. Status
+    lines keep the reference's every-10-batches cadence — they are printed
+    from the per-step losses vector the fused call returns.
 
-    ST_TPU_N_INNER_CAP overrides the cap: a 250-step fused scan is a very
-    large graph, and on tunnel-backed remote-compile setups the compile can
-    exceed the service's patience ("TPU backend setup/compile error
-    (Unavailable)") — a smaller cap (e.g. 50) trades ~1% relay overhead for
-    a compile that reliably finishes."""
+    The default cap is 50: the measured knee (n_inner 10 -> 50 gains ~2% at
+    batch 200, docs/PERF_PROFILE.md) while keeping the fused graph small
+    enough that remote-compile backends reliably build it — a 250-step scan
+    is what wedged the round-3 compile service ("TPU backend setup/compile
+    error (Unavailable)"), so 250 is opt-in, not the default a fresh user's
+    first run hits. ST_TPU_N_INNER_CAP overrides in either direction."""
     cap = int(os.environ.get("ST_TPU_N_INNER_CAP", cap))
     best = 1
     for k in range(status_every, min(cap, steps_per_epoch) + 1, status_every):
@@ -437,10 +438,11 @@ def make_eval_scan(model: STModel, val_batch_fn, batch_size, n_val_steps: int,
     of n_val_steps (each costs a relay RTT here).
 
     Like the train scan (pick_n_inner), the eval scan graph is capped at
-    ST_TPU_N_INNER_CAP steps per compiled call: the reference-default config
-    puts 250 val batches in one epoch's pass (50k points / batch 200) and a
-    250-step fused graph is exactly what wedged the round-3 remote compile
-    service. Past the cap the pass runs as ceil(n/cap) async-dispatched
+    ST_TPU_N_INNER_CAP steps per compiled call (default 50): the
+    reference-default config puts 250 val batches in one epoch's pass (50k
+    points / batch 200) and a 250-step fused graph is exactly what wedged the
+    round-3 remote compile service. Past the cap the pass runs as ceil(n/cap)
+    async-dispatched
     calls of ONE capped graph (step offset is a runtime arg, so one compile
     — compiles are minutes on this remote backend). When cap does not
     divide n the LAST call's window is slid back to end at step n-1,
@@ -461,7 +463,7 @@ def make_eval_scan(model: STModel, val_batch_fn, batch_size, n_val_steps: int,
     inv_fn = getattr(val_batch_fn, "make_invariants", None)
     ops_fn = _operands_fn(val_batch_fn)
 
-    cap = max(1, int(os.environ.get("ST_TPU_N_INNER_CAP", 250)))
+    cap = max(1, int(os.environ.get("ST_TPU_N_INNER_CAP", 50)))
     chunk = min(cap, max(0, n_val_steps))
 
     def eval_all(params, step0, operands):
@@ -623,8 +625,11 @@ def train(
             restored = galib.from_plain_state(params, plain)
         else:
             restored = checkpoint.restore_optax_state(opt_state, saved)
+        # state_shardings, NOT the raw leaf shardings: tx.init leaves the
+        # scalar count uncommitted on one device, and committing the restored
+        # state there while params live on the mesh breaks the jitted step
         opt_state = jax.device_put(
-            restored, jax.tree.map(lambda x: x.sharding, opt_state)
+            restored, meshlib.state_shardings(mesh, opt_state)
         )
         step0 = int(rv.get("optax_step", 0))
         print(f"Restored optimizer state at step {step0}.")
@@ -666,7 +671,7 @@ def train(
         # async input pipeline: sample + device_put one batch ahead
         prefetcher = train_ds.prefetch_batches(batch_size, host_rng)
     else:
-        # Fuse up to 250 steps per device call (see pick_n_inner);
+        # Fuse up to 50 steps per device call (see pick_n_inner);
         # multi-device DP runs the fused scan inside shard_map.
         n_inner = pick_n_inner(steps_per_epoch, status_every)
         multi_step = make_train_multi_step(
@@ -897,7 +902,10 @@ def train(
                 if primary:
                     writer.submit(save_cp)
 
-            if timing:
+            if timing and primary:
+                # primary-only like every other observability write: on a
+                # multi-host pod each process would otherwise interleave an
+                # identical stderr line per epoch
                 tot = time.perf_counter() - t_ep0
                 acc = sum(tacc.values())
                 print(

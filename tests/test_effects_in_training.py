@@ -1,5 +1,7 @@
 """Every registered effect must run inside the fused train step (the
-on-device data path), and the shard_map DP path must agree with GSPMD."""
+on-device data path). The shard_map step here is a quick does-it-run smoke;
+NUMERICAL agreement of the multi-chip step with a single-device oracle is
+proven in tests/test_multichip_oracle.py."""
 
 import jax
 import jax.numpy as jnp

@@ -22,6 +22,12 @@ def test_pyproject_parses():
     assert {"jax", "flax", "optax", "numpy", "scipy", "matplotlib"} <= set(
         d.split(";")[0].strip() for d in cfg["project"]["dependencies"]
     )
+    # license metadata must be present and GPL-compatible with the reference's
+    # LICENSE (checkpoint/CLI interop claims) — and the LICENSE file shipped
+    lic = cfg["project"]["license"]
+    assert "GPL-3.0" in (lic["text"] if isinstance(lic, dict) else lic)
+    with open(os.path.join(ROOT, "LICENSE")) as f:
+        assert "GNU GENERAL PUBLIC LICENSE" in f.read(200)
 
 
 def test_discovers_all_subpackages():

@@ -224,9 +224,11 @@ def test_pick_n_inner_env_cap(monkeypatch):
     from signaltrain_tpu.training.train import pick_n_inner
 
     monkeypatch.delenv("ST_TPU_N_INNER_CAP", raising=False)
-    assert pick_n_inner(1000, 10) == 250
-    monkeypatch.setenv("ST_TPU_N_INNER_CAP", "50")
+    # out-of-the-box default cap is 50 — a 250-step fused graph wedged the
+    # round-3 remote compile service, so it must be opt-in (ADVICE r4)
     assert pick_n_inner(1000, 10) == 50
+    monkeypatch.setenv("ST_TPU_N_INNER_CAP", "250")
+    assert pick_n_inner(1000, 10) == 250
     assert 1000 % pick_n_inner(1000, 10) == 0
     monkeypatch.setenv("ST_TPU_N_INNER_CAP", "1")
     assert pick_n_inner(1000, 10) == 1  # floor: unfused fallback
