@@ -143,7 +143,13 @@ def main():
 
     big_batch_value, dt800 = big_batch(800)
     batch1600_value, _ = big_batch(1600, iters=5)
+    # batch 512: the measured single-chip throughput PEAK (round-5 sweep,
+    # docs/PERF_PROFILE.md "Batch scaling, reconciled") — per-example step
+    # time cliffs +25% between 640 and 800, so the old 800/1600 samples
+    # straddled the peak without seeing it
+    batch512_value, dt512 = big_batch(512)
     _, mfu800 = flopslib.mfu(spec, examples_per_sec=800 / dt800)
+    _, mfu512 = flopslib.mfu(spec, examples_per_sec=512 / dt512)
 
     # streaming long-audio inference throughput (predict_long, the second
     # half of the BASELINE metric): 60 s of audio through the chunked graph.
@@ -253,6 +259,8 @@ def main():
                 **({"mfu": round(mfu, 4)} if mfu is not None else {}),
                 **({"mfu_batch800": round(mfu800, 4)} if mfu800 is not None else {}),
                 "final_loss": float(loss),
+                "batch512_audio_sec_per_sec": round(batch512_value, 1),
+                **({"mfu_batch512": round(mfu512, 4)} if mfu512 is not None else {}),
                 "batch800_audio_sec_per_sec": round(big_batch_value, 1),
                 "batch1600_audio_sec_per_sec": round(batch1600_value, 1),
                 "predict_long_audio_sec_per_sec": round(infer_value, 1),

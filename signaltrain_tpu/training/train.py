@@ -58,6 +58,48 @@ def clip_frontend_grads(grads, max_norm: float = 1.0):
     return {"params": new}
 
 
+def _make_lg_fn(loss_fn, local_batch: int):
+    """value_and_grad over the local batch — optionally microbatched.
+
+    ST_TPU_MICROBATCH=k (k>1, dividing the local batch) runs the forward/
+    backward as a lax.scan over k equal slices with gradient accumulation:
+    mathematically the same mean loss and mean gradient (mean of equal-size
+    chunk means == global mean; agreement is reassociation-level, pinned by
+    test_microbatch_grad_accum_equivalent), but each fwd/bwd pass streams a
+    1/k working set. Motivation (round-5 sweep, docs/PERF_PROFILE.md "Batch
+    scaling, reconciled"): per-example step time cliffs +25% between batch
+    640 and 800 as the big fused kernels' working sets outgrow a bandwidth
+    knee — slicing the model pass keeps each pass below the knee while the
+    optimizer still sees one large-batch update. Datagen stays full-batch,
+    so the sampled data is bit-identical to the unsliced step.
+    """
+    micro = int(os.environ.get("ST_TPU_MICROBATCH", "0"))
+    if micro <= 1 or local_batch % micro != 0:
+        def lg(params, x, y, knobs):
+            return jax.value_and_grad(loss_fn)(params, x, y, knobs)
+
+        return lg
+
+    m = local_batch // micro
+
+    def lg(params, x, y, knobs):
+        xs, ys, ks = (
+            a.reshape((micro, m) + a.shape[1:]) for a in (x, y, knobs)
+        )
+
+        def body(carry, xyk):
+            lsum, gsum = carry
+            l, g = jax.value_and_grad(loss_fn)(params, *xyk)
+            return (lsum + l, jax.tree.map(jnp.add, gsum, g)), None
+
+        zero = (jnp.zeros((), jnp.float32), jax.tree.map(jnp.zeros_like, params))
+        (lsum, gsum), _ = jax.lax.scan(body, zero, (xs, ys, ks))
+        inv = 1.0 / micro
+        return lsum * inv, jax.tree.map(lambda a: a * inv, gsum)
+
+    return lg
+
+
 def _operands_fn(batch_fn):
     """Large-corpus escape hatch: if the batch sampler's owner exposes
     jit_operands() (FileDataset), the corpus arrays are passed INTO the
@@ -95,17 +137,20 @@ def make_optimizer(lr_max, n_data_points, epochs, batch_size):
     """Adam (torch defaults, weight_decay=0, train.py:228) driven by the
     closed-form 1cycle schedule. The shape-grouped formulation
     (training/grouped_adam.py — same update values, ~8 fused ops instead of
-    ~64 tiny dispatches) is selected ADAPTIVELY: the round-4 on-target A/B
-    (docs/PERF_PROFILE.md "Dispatch levers, measured") put it at -2.3%
-    step time at batch 800 but +1.8% at batch 200, where the per-leaf
-    dispatches hide under the shorter step's offload gaps while the grouped
-    pack/unpack copies do not shrink with batch. ST_TPU_GROUPED_ADAM=1/0
-    forces either way; default 'auto' groups at batch_size >= 512."""
+    ~64 tiny dispatches) is selected ADAPTIVELY. Measured crossover (round-5
+    7-point sweep at the production n_inner=50, docs/PERF_PROFILE.md
+    "Grouped-Adam crossover"): grouped LOSES at batch 200 (+1.4%, the
+    per-leaf dispatches hide under the short step's offload gaps while the
+    grouped pack/unpack copies do not shrink with batch) and WINS from 320
+    up (-3.7% at 320, -1.1..-2.3% at 512/800/1600/3200), with one measured
+    anomaly at 640 — the deltas are comparable to per-compile variance, so
+    the threshold is a measured-but-soft 320. ST_TPU_GROUPED_ADAM=1/0
+    forces either way."""
     lr_fn = schedule.one_cycle_fn(
         lr_max=lr_max, n_data_points=n_data_points, epochs=epochs, batch_size=batch_size
     )
     env = os.environ.get("ST_TPU_GROUPED_ADAM", "auto")
-    if env == "1" or (env not in ("0", "1") and batch_size >= 512):
+    if env == "1" or (env not in ("0", "1") and batch_size >= 320):
         from .grouped_adam import grouped_adam
 
         return grouped_adam(lr_fn, b1=0.9, b2=0.999, eps=1e-8), lr_fn
@@ -190,6 +235,8 @@ def make_train_step(model: STModel, tx, batch_fn, batch_size, mesh=None,
         y_hat, _, mag_hat = train_module.apply(p, x, knobs)
         return loss_mod.calc_loss(y_hat, y, mag_hat, scale_by_freq=scale)
 
+    lg_fn = _make_lg_fn(loss_fn, local_batch)
+
     def local_step(params, opt_state, step, base_key, operands):
         shard = jax.lax.axis_index("data")
         key = jax.random.fold_in(jax.random.fold_in(base_key, step), shard)
@@ -198,7 +245,7 @@ def make_train_step(model: STModel, tx, batch_fn, batch_size, mesh=None,
             batch_fn(keys, operands=operands) if operands is not None
             else batch_fn(keys)
         )
-        l, grads = jax.value_and_grad(loss_fn)(params, x, y, knobs)
+        l, grads = lg_fn(params, x, y, knobs)
         l = jax.lax.pmean(l, "data")
         grads = jax.lax.pmean(grads, "data")
         grads = clip_frontend_grads(grads, clip_max_norm)
@@ -232,6 +279,7 @@ def make_train_multi_step(model: STModel, tx, batch_fn, batch_size,
         y_hat, _, mag_hat = train_module.apply(p, x, knobs)
         return loss_mod.calc_loss(y_hat, y, mag_hat, scale_by_freq=scale)
 
+    lg_fn = _make_lg_fn(loss_fn, local_batch)
     inv_fn = getattr(batch_fn, "make_invariants", None)
     ops_fn = _operands_fn(batch_fn)
 
@@ -296,7 +344,7 @@ def make_train_multi_step(model: STModel, tx, batch_fn, batch_size,
         def body(carry, i):
             params, _ = carry
             x, y, knobs = gen(step_keys(i))
-            lg = jax.value_and_grad(loss_fn)(params, x, y, knobs)
+            lg = lg_fn(params, x, y, knobs)
             return update(carry, lg)
 
         if group == 1:
@@ -315,7 +363,7 @@ def make_train_multi_step(model: STModel, tx, batch_fn, batch_size,
 
             def inner(c, xyk):
                 x, y, knobs = xyk
-                lg = jax.value_and_grad(loss_fn)(c[0], x, y, knobs)
+                lg = lg_fn(c[0], x, y, knobs)
                 return update(c, lg)
 
             # same unroll lever as the group==1 path, applied to the

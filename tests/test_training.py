@@ -345,6 +345,47 @@ def test_hoisted_datagen_bitexact(monkeypatch, pallas_interpret):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_microbatch_grad_accum_equivalent(monkeypatch):
+    """ST_TPU_MICROBATCH=k slices the fwd/bwd into k grad-accumulated
+    passes over the SAME full-batch data (train._make_lg_fn): the mean loss
+    and mean gradient are mathematically identical, so params/losses must
+    match the unsliced step to reassociation tolerance — across both the
+    single-step and fused multi-step paths. k not dividing the batch
+    falls back to unsliced (exact equality)."""
+    from signaltrain_tpu.data import synth_data
+    from signaltrain_tpu.models.st_model import ModelSpec, STModel
+    from signaltrain_tpu.training import train as trainlib
+
+    spec = ModelSpec(
+        scale_factor=512 / 8192.0, shrink_factor=4.0, num_knobs=4, sr=44100,
+        in_chunk_size=512, out_chunk_size=128, ft_size=64, hop_size=24,
+        time_frames=25, output_time_frames=9,
+    )
+    effect = effects.Compressor_4c()
+    model = STModel(spec)
+    batch_fn = synth_data.make_synth_batch_fn(effect, 512, 128)
+    tx, _ = trainlib.make_optimizer(1e-4, 256, 2, 8)
+    key = jax.random.PRNGKey(5)
+    params0 = model.init(jax.random.PRNGKey(0))
+
+    results = {}
+    for flag in ("0", "4", "3"):  # 3 does not divide 8: unsliced fallback
+        monkeypatch.setenv("ST_TPU_MICROBATCH", flag)
+        step = trainlib.make_train_multi_step(model, tx, batch_fn, 8, n_inner=2)
+        p = jax.tree.map(jnp.copy, params0)
+        o = tx.init(p)
+        p, o, losses = step(p, o, jnp.asarray(0), key)
+        results[flag] = (p, np.asarray(losses))
+
+    np.testing.assert_array_equal(results["0"][1], results["3"][1])
+    np.testing.assert_allclose(results["0"][1], results["4"][1],
+                               rtol=1e-5, atol=1e-9)
+    for a, b in zip(jax.tree.leaves(results["0"][0]),
+                    jax.tree.leaves(results["4"][0])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-8)
+
+
 def test_scan_unroll_equivalent(monkeypatch):
     """ST_TPU_SCAN_UNROLL=k duplicates the fused scan body k times per loop
     iteration (lax.scan unroll) — the traced program is identical, but XLA
@@ -386,10 +427,11 @@ def test_scan_unroll_equivalent(monkeypatch):
 
 
 def test_grouped_adam_auto_default(monkeypatch):
-    """Default optimizer selection is adaptive (round-4 A/B, docs/
-    PERF_PROFILE.md): shape-grouped Adam at batch >= 512 (where it measured
-    -2.3% step time), per-leaf optax.adam below (where grouping measured
-    +1.8%). Explicit ST_TPU_GROUPED_ADAM=1/0 forces either way."""
+    """Default optimizer selection is adaptive (round-5 crossover sweep,
+    docs/PERF_PROFILE.md "Grouped-Adam crossover"): shape-grouped Adam at
+    batch >= 320 (measured -3.7% at 320, -1..-2.3% at 512+), per-leaf
+    optax.adam below (grouping measured +1.4% at batch 200). Explicit
+    ST_TPU_GROUPED_ADAM=1/0 forces either way."""
     from signaltrain_tpu.models.st_model import ModelSpec, STModel
     from signaltrain_tpu.training import train as trainlib
     from signaltrain_tpu.training.grouped_adam import GroupedAdamState
@@ -410,7 +452,7 @@ def test_grouped_adam_auto_default(monkeypatch):
         return isinstance(tx.init(params), GroupedAdamState)
 
     assert not kind(200)          # reference default batch: per-leaf
-    assert kind(512) and kind(800)  # large batch: grouped
+    assert kind(320) and kind(512) and kind(800)  # measured-win range: grouped
     assert kind(200, env="1")     # forced on
     assert not kind(800, env="0")  # forced off
 
