@@ -66,12 +66,17 @@ def _make_lg_fn(loss_fn, local_batch: int):
     mathematically the same mean loss and mean gradient (mean of equal-size
     chunk means == global mean; agreement is reassociation-level, pinned by
     test_microbatch_grad_accum_equivalent), but each fwd/bwd pass streams a
-    1/k working set. Motivation (round-5 sweep, docs/PERF_PROFILE.md "Batch
-    scaling, reconciled"): per-example step time cliffs +25% between batch
-    640 and 800 as the big fused kernels' working sets outgrow a bandwidth
-    knee — slicing the model pass keeps each pass below the knee while the
-    optimizer still sees one large-batch update. Datagen stays full-batch,
-    so the sampled data is bit-identical to the unsliced step.
+    1/k working set. Datagen stays full-batch, so the sampled data is
+    bit-identical to the unsliced step.
+
+    Measured disposition (docs/PERF_PROFILE.md "Microbatch
+    grad-accumulation"): built to test whether the +25% per-example cliff
+    between batch 640 and 800 was the fwd/bwd working set outgrowing a
+    bandwidth knee — it is NOT (800 @ micro=2 recovers −0.4%, noise; the
+    cliff lives in the full-width stages or a width-dependent XLA layout
+    choice). At batch ≤ 640 the scan-carry gradient pytree plus lost
+    cross-slice fusion costs 9–14%. The one measured win: batch ≥ 1600
+    with micro=4 (−5.6%). Default OFF.
     """
     micro = int(os.environ.get("ST_TPU_MICROBATCH", "0"))
     if micro <= 1 or local_batch % micro != 0:
