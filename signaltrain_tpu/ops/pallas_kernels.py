@@ -145,13 +145,23 @@ def _smoother_local(g, alpha_a, alpha_r, interpret: bool):
     g = g.astype(jnp.float32)
     # uniform-loop trick (see kernel comment): s[0] = 0 exactly
     g = jnp.concatenate([jnp.zeros((b, 1), jnp.float32), g[:, 1:]], axis=1)
-    gp = jnp.zeros((b_pad, n_pad), jnp.float32).at[:b, :n].set(g)
+    # Zero-width padding must NOT go through .at[].set(): at exact tile fits
+    # (b == b_pad, e.g. batch 1024/2048) the full-coverage update traces to a
+    # scatter with an EMPTY (0,) index constant, and custom_partitioning
+    # rejects any trace-time consts (assert in custom_partitioning.__call__)
+    # — the whole train step then fails to trace at those batch sizes.
+    if b_pad == b and n_pad == n:
+        gp = g
+    else:
+        gp = jnp.zeros((b_pad, n_pad), jnp.float32).at[:b, :n].set(g)
     # row t*sub+s, lane-block i <- batch slot i*group + s*LANES + l at time t
     g4 = gp.reshape(nb, sub, LANES, n_pad).transpose(3, 1, 0, 2)
     gt = g4.reshape(n_pad * sub, nb * LANES)
 
     def vec_layout(v):
-        vp = jnp.zeros((b_pad,), jnp.float32).at[:b].set(v.astype(jnp.float32))
+        v = v.astype(jnp.float32)
+        # same zero-width-pad rule as gp above (consts break custom_partitioning)
+        vp = v if b_pad == b else jnp.zeros((b_pad,), jnp.float32).at[:b].set(v)
         return vp.reshape(nb, sub, LANES).transpose(1, 0, 2).reshape(sub, nb * LANES)
 
     aa = vec_layout(alpha_a)

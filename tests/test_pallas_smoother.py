@@ -36,6 +36,13 @@ def _case(b, n, seed=0):
         (2100, 40),    # wide (32, 128) carry
         (4200, 24),    # > _MAX_WIDE*128 slots: multi-tile grid (two passes)
         (16, 1200),    # > one _UNROLL-block, multiple time blocks when small
+        # EXACT tile fits (b == b_pad, n == n_pad): zero-width padding must
+        # not trace to an empty-index scatter const — custom_partitioning
+        # rejects trace consts, so these batch sizes crashed the whole train
+        # step before the round-5 fix (found by the batch-1024 lane sweep).
+        (1024, 40),    # sub 8,  1 tile, exact
+        (2048, 40),    # sub 16, 1 tile, exact
+        (4096, 40),    # sub 32, 1 tile, exact
     ],
 )
 def test_kernel_matches_scan(b, n):
