@@ -627,6 +627,13 @@ def train(
           f"compute_dtype = {jnp.dtype(compute_dtype).name}")
     num_knobs = effect.num_knobs
     print(f"    num_knobs = {num_knobs}")
+    if batch_size >= 512 and batch_size % 128:
+        # measured ~10% step-time tax: XLA lays the model stages out with
+        # batch on the 128-wide lane axis, so an unaligned batch pads up and
+        # pays for examples it throws away (PERF_PROFILE "cliff, attributed")
+        print(f"    note: batch_size {batch_size} is not a multiple of 128 — "
+              f"TPU lane padding bills it as {-(-batch_size // 128) * 128}; "
+              f"consider rounding (docs/PERF_PROFILE.md, lane alignment)")
     effect.info()
 
     # Checkpoint-resume: metadata OVERRIDES CLI geometry (train.py:202-215)
