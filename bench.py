@@ -148,6 +148,11 @@ def main():
     # time cliffs +25% between 640 and 800, so the old 800/1600 samples
     # straddled the peak without seeing it
     batch512_value, dt512 = big_batch(512)
+    # batch 1024: lane-ALIGNED large batch — beats unaligned 800 despite
+    # being bigger (the "cliff" is a ~10% padding tax at batch % 128 != 0,
+    # PERF_PROFILE "The 640->800 cliff, attributed"), and exercises the
+    # exact-tile-fit smoother path that crashed before the round-5 fix
+    batch1024_value, _ = big_batch(1024)
     _, mfu800 = flopslib.mfu(spec, examples_per_sec=800 / dt800)
     _, mfu512 = flopslib.mfu(spec, examples_per_sec=512 / dt512)
 
@@ -262,6 +267,7 @@ def main():
                 "batch512_audio_sec_per_sec": round(batch512_value, 1),
                 **({"mfu_batch512": round(mfu512, 4)} if mfu512 is not None else {}),
                 "batch800_audio_sec_per_sec": round(big_batch_value, 1),
+                "batch1024_audio_sec_per_sec": round(batch1024_value, 1),
                 "batch1600_audio_sec_per_sec": round(batch1600_value, 1),
                 "predict_long_audio_sec_per_sec": round(infer_value, 1),
                 "predict_long_iqr_frac": round(infer_spread, 3),
